@@ -1,0 +1,82 @@
+"""Volume-rendering primitives: stratified sampling + alpha compositing.
+
+Functional equivalents of the reference's `sample_stratified` and
+`volume_render` (reference: src/renderer.py:186-237), with the transmittance
+cumulative product kept in fp32 (the bf16-sensitive part of the pipeline).
+All shapes are static; randomness is keyed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_stratified(rng: Optional[jax.Array], near: float, far: float,
+                      n_samples: int, n_rays: int,
+                      perturb: bool) -> jnp.ndarray:
+    """Sample depths along rays; jitter within bins when `perturb`.
+
+    Matches reference semantics (reference: src/renderer.py:186-201): linear
+    z in [near, far]; when perturbed, each sample is drawn uniformly between
+    neighboring bin midpoints.
+    Returns z_vals [n_rays, n_samples] fp32.
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+    z = near * (1.0 - t) + far * t                 # [S]
+    z = jnp.broadcast_to(z, (n_rays, n_samples))
+    if perturb:
+        mids = 0.5 * (z[:, 1:] + z[:, :-1])
+        upper = jnp.concatenate([mids, z[:, -1:]], axis=-1)
+        lower = jnp.concatenate([z[:, :1], mids], axis=-1)
+        u = jax.random.uniform(rng, z.shape, dtype=jnp.float32)
+        z = lower + (upper - lower) * u
+    return z
+
+
+def composite(rgb: jnp.ndarray, sigma: jnp.ndarray, z_vals: jnp.ndarray,
+              rays_d: jnp.ndarray,
+              bg_color: Optional[jnp.ndarray] = None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Alpha-composite per-sample radiance into per-ray outputs.
+
+    C(r) = sum_i T_i * (1 - exp(-sigma_i * delta_i)) * c_i + (1 - acc) * bg.
+    Matches the reference integral including the 1e10 final interval, the
+    ||rays_d|| distance scaling, and the 1e-10 transmittance epsilon
+    (reference: src/renderer.py:204-237).
+
+    Args:
+      rgb: [R, S, 3]; sigma: [R, S]; z_vals: [R, S]; rays_d: [R, 3].
+      bg_color: [3] or [R, 3] background composited against (1 - acc).
+
+    Returns:
+      (rgb_map [R,3], depth_map [R], acc_map [R], weights [R,S]) — weights are
+      returned for the deformation-regularizer path
+      (reference: src/renderer.py:363-380).
+    """
+    rgb = rgb.astype(jnp.float32)
+    sigma = sigma.astype(jnp.float32)
+    dists = z_vals[:, 1:] - z_vals[:, :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1)
+    dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    alpha = 1.0 - jnp.exp(-sigma * dists)
+    # Exclusive cumprod of (1 - alpha): T_i = prod_{j<i} (1 - alpha_j).
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
+    weights = alpha * trans                            # [R, S]
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    depth_map = jnp.sum(weights * z_vals, axis=-1)
+    acc_map = jnp.sum(weights, axis=-1)
+
+    if bg_color is not None:
+        bg = jnp.asarray(bg_color, dtype=jnp.float32)
+        if bg.ndim == 1:
+            bg = bg[None, :]
+        rgb_map = rgb_map + (1.0 - acc_map)[..., None] * bg
+    return rgb_map, depth_map, acc_map, weights

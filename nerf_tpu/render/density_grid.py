@@ -1,0 +1,138 @@
+"""Occupancy / density grid for empty-space skipping, as functional state.
+
+Re-design of the reference's `DensityGrid` nn.Module
+(reference: src/renderer.py:5-183). The grid lives in the train-state pytree
+as a dense fp32 density volume plus a boolean occupancy volume; updates are a
+separate jitted function invoked from the host on the staged schedule
+(reference: run.py:632-646, 1191-1220, 1963-1986).
+
+TPU notes: instead of boolean compaction with dynamic shapes (a CUDA-ism,
+reference: src/renderer.py:303-343), the renderer keeps static shapes and
+masks sigma to zero at inactive points — mathematically identical through the
+compositing integral. The grid update evaluates all grid centers with
+`lax.map` over fixed-size chunks, which XLA pipelines as one program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DensityGridSpec:
+    resolution: int = 128
+    bound: float = 1.0
+    threshold: float = 0.01
+
+
+def density_grid_init(spec: DensityGridSpec) -> dict:
+    """Fresh grid state: zero densities, all-active occupancy
+    (reference: src/renderer.py:25-29)."""
+    r = spec.resolution
+    return {
+        "grid": jnp.zeros((r, r, r), jnp.float32),
+        "binary": jnp.ones((r, r, r), jnp.bool_),
+    }
+
+
+def grid_active_mask(binary: jnp.ndarray, pts: jnp.ndarray,
+                     spec: DensityGridSpec) -> jnp.ndarray:
+    """Boolean activity per point [N]; out-of-bounds points are inactive
+    (reference: src/renderer.py:134-166)."""
+    r = spec.resolution
+    scale = r / (2.0 * spec.bound)
+    idx = jnp.floor((pts + spec.bound) * scale).astype(jnp.int32)
+    in_bounds = jnp.all((idx >= 0) & (idx < r), axis=-1)
+    idx_c = jnp.clip(idx, 0, r - 1)
+    vals = binary[idx_c[:, 0], idx_c[:, 1], idx_c[:, 2]]
+    return vals & in_bounds
+
+
+def _grid_centers(spec: DensityGridSpec) -> np.ndarray:
+    r = spec.resolution
+    lin = np.linspace(-spec.bound, spec.bound, r, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
+    return np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+
+
+def _query_density(field_apply, params, pts, t_scalar, needs_time,
+                   chunk: int):
+    """sigma at `pts` (optionally at one time), chunked via lax.map."""
+    n = pts.shape[0]
+    n_chunks = -(-n // chunk)
+    pad = n_chunks * chunk - n
+    pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
+
+    def one_chunk(p):
+        dirs = jnp.zeros_like(p)
+        if needs_time:
+            t = jnp.full((p.shape[0], 1), t_scalar, jnp.float32)
+            _, sigma, _ = field_apply(params, p, dirs, t)
+        else:
+            _, sigma = field_apply(params, p, dirs)
+        return sigma[:, 0]
+
+    sig = jax.lax.map(one_chunk, pts_p).reshape(-1)
+    return sig[:n]
+
+
+def make_grid_updater(field_apply, spec: DensityGridSpec, needs_time: bool,
+                      chunk: int = 2 ** 18) -> Callable:
+    """Build a jitted grid-update fn.
+
+    update(params, state, times, decay) -> (new_state, active_ratio)
+
+    * static models: times ignored, grid overwritten
+      (reference: src/renderer.py:105-125).
+    * dynamic models: density = max over the provided `times` array, then
+      grid = max(grid * decay, current) — the time-union with optional decay
+      (reference: src/renderer.py:65-123). Part 4's three-anchor sweep is the
+      caller passing times=[0, 0.5, 1] (reference: src/renderer.py:66).
+    """
+    centers = jnp.asarray(_grid_centers(spec))
+    r = spec.resolution
+
+    @partial(jax.jit, static_argnames=())
+    def update(params, state, times, decay):
+        if needs_time:
+            def at_time(t):
+                return _query_density(field_apply, params, centers, t,
+                                      True, chunk)
+            sig = jax.lax.map(at_time, times)      # [K, R^3]
+            current = jnp.max(sig, axis=0).reshape(r, r, r)
+            grid = jnp.maximum(state["grid"] * decay, current)
+        else:
+            current = _query_density(field_apply, params, centers, 0.0,
+                                     False, chunk).reshape(r, r, r)
+            grid = current
+        binary = grid > spec.threshold
+        active_ratio = jnp.mean(binary.astype(jnp.float32))
+        return {"grid": grid, "binary": binary}, active_ratio
+
+    return update
+
+
+def should_update(step: int, update_interval: int = 16,
+                  warmup_iters: int = 0) -> bool:
+    """Host-side cadence check (reference: src/renderer.py:168-183)."""
+    if step < warmup_iters:
+        return False
+    return step % update_interval == 0
+
+
+def staged_interval(step: int, train_iters: int,
+                    stages=(16, 64, 256)) -> int:
+    """Staged update interval: densest early, sparse late
+    (reference: run.py:1195-1200; part2_instant uses (32, 128, 512),
+    reference: run.py:636-641)."""
+    if step < train_iters * 0.1:
+        return stages[0]
+    if step < train_iters * 0.5:
+        return stages[1]
+    return stages[2]

@@ -1,0 +1,41 @@
+"""Checkpoint I/O.
+
+Preserves the reference's checkpoint dict schema
+{model_state_dict, config, step, val_psnr[, density_grid]}
+(reference: run.py:707-715, 1325-1333, 2084-2092) so `--checkpoint` /
+`--eval_only` semantics carry over. Arrays are stored as host numpy inside a
+single pickle — no torch dependency, no device state.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), tree)
+
+
+def save_checkpoint(path: str, model_params, config: dict, step: int = 0,
+                    val_psnr: float = 0.0, density_grid=None,
+                    extra: dict | None = None) -> None:
+    ckpt = {
+        "model_state_dict": _to_numpy(model_params),
+        "config": config,
+        "step": step,
+        "val_psnr": val_psnr,
+    }
+    if density_grid is not None:
+        ckpt["density_grid"] = _to_numpy(density_grid)
+    if extra:
+        ckpt.update(_to_numpy(extra))
+    with open(path, "wb") as f:
+        pickle.dump(ckpt, f)
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -112,6 +112,12 @@ def make_grid_updater(field_apply, spec: DensityGridSpec, needs_time: bool,
                                      False, chunk).reshape(r, r, r)
             grid = current
         binary = grid > spec.threshold
+        # Safety guard (deviation from the reference, which can dead-lock):
+        # if no cell clears the threshold — e.g. the field is still
+        # undertrained at the first update — an all-empty grid would mask
+        # every sample, kill all gradients, and the grid could never
+        # repopulate. Keep the grid fully active instead.
+        binary = jnp.where(jnp.any(binary), binary, jnp.ones_like(binary))
         active_ratio = jnp.mean(binary.astype(jnp.float32))
         return {"grid": grid, "binary": binary}, active_ratio
 

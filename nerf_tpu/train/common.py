@@ -1,0 +1,116 @@
+"""Shared training-loop machinery: jitted image renderer, eval helpers."""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render.renderer import render_image
+from ..utils.metrics import compute_psnr
+
+
+def save_png(path: str, img: np.ndarray):
+    import matplotlib.pyplot as plt
+    plt.imsave(path, np.clip(img, 0.0, 1.0))
+
+
+def composite_target(target_rgba: jnp.ndarray, bg_color: jnp.ndarray):
+    """target = rgb * alpha + bg * (1 - alpha) (reference: run.py:593-594)."""
+    rgb, alpha = target_rgba[:, :3], target_rgba[:, 3:4]
+    return rgb * alpha + bg_color[None, :] * (1.0 - alpha)
+
+
+class ImageRenderer:
+    """Jit-compiled full-image renderer with fixed chunking.
+
+    One compilation per (shape, grid-presence) signature; time is threaded as
+    a traced scalar so per-frame renders reuse the compiled program.
+    """
+
+    def __init__(self, field, *, near: float, far: float, n_samples: int,
+                 chunk: int, grid_spec=None, capacity: Optional[int] = None):
+        self.field = field
+        self.grid_spec = grid_spec
+
+        @partial(jax.jit, static_argnames=())
+        def _render(params, rays_o, rays_d, time_scalar, grid_binary, bg):
+            return render_image(
+                field, params, rays_o, rays_d,
+                near=near, far=far, n_samples=n_samples, chunk=chunk,
+                time_scalar=time_scalar, grid_binary=grid_binary,
+                grid_spec=grid_spec, bg_color=bg, capacity=capacity)
+
+        self._render = _render
+
+    def __call__(self, params, rays_o, rays_d, *, time=None,
+                 grid_binary=None, bg_color=None) -> jnp.ndarray:
+        h_w = rays_o.shape[:-1]
+        ro = rays_o.reshape(-1, 3)
+        rd = rays_d.reshape(-1, 3)
+        t = None if not self.field.needs_time else jnp.float32(
+            0.0 if time is None else time)
+        bg = jnp.ones((3,), jnp.float32) if bg_color is None \
+            else jnp.asarray(bg_color, jnp.float32)
+        rgb = self._render(params, ro, rd, t, grid_binary, bg)
+        return rgb.reshape(*h_w, 3)
+
+
+def evaluate_split(field, params, dataset, renderer: ImageRenderer, *,
+                   grid_binary=None, bg_color=None, indices=None,
+                   save_dir: Optional[str] = None, name_fn=None):
+    """Render a dataset split and return (avg_psnr, per_image_psnrs).
+
+    Mirrors the reference's chunked eval loops with best-effort parity of
+    outputs: clamped predictions, PSNR vs the pre-composited target
+    (reference: run.py:365-393, 863-895, 2121-2160).
+    """
+    idxs = range(len(dataset)) if indices is None else indices
+    psnrs = []
+    for i in idxs:
+        out = dataset.get_image_rays(i)
+        if dataset.has_time:
+            rays_o, rays_d, target, t = out
+        else:
+            rays_o, rays_d, target = out
+            t = None
+        pred = renderer(params, rays_o, rays_d, time=t,
+                        grid_binary=grid_binary, bg_color=bg_color)
+        pred = jnp.clip(pred, 0.0, 1.0)
+        mse = float(jnp.mean((pred - target) ** 2))
+        p = compute_psnr(mse)
+        psnrs.append(p)
+        if save_dir is not None:
+            fname = name_fn(i, p, t) if name_fn else f"render_{i:03d}.png"
+            save_png(os.path.join(save_dir, fname), np.asarray(pred))
+    avg = float(np.mean(psnrs)) if psnrs else 0.0
+    return avg, psnrs
+
+
+def make_video(picture_dir: str, video_path: str, framerate: int = 24,
+               cleanup: bool = True) -> bool:
+    """Mux frame_%03d.png into an H.264 mp4 via ffmpeg
+    (reference: run.py:786-813). Returns success."""
+    import shutil
+    import subprocess
+    cmd = ["ffmpeg", "-y", "-framerate", str(framerate),
+           "-i", os.path.join(picture_dir, "frame_%03d.png"),
+           "-c:v", "libx264", "-pix_fmt", "yuv420p", "-crf", "18",
+           video_path]
+    try:
+        result = subprocess.run(cmd, capture_output=True, text=True)
+        if result.returncode == 0:
+            print(f">>> video saved: {video_path}")
+            if cleanup:
+                shutil.rmtree(picture_dir)
+            return True
+        print(f"!!! ffmpeg failed:\n{result.stderr[-500:]}")
+    except FileNotFoundError:
+        print("!!! ffmpeg not found; frames left in " + picture_dir)
+    except Exception as e:  # noqa: BLE001
+        print(f"!!! video generation failed: {e}")
+    return False

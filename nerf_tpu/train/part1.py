@@ -1,0 +1,193 @@
+"""Part 1 — 2D image fitting with Fourier positional encoding.
+
+Functional re-build of the reference sweep trainer (reference: run.py:30-237):
+cartesian product over (use_pe, L_embed, hidden_dim, num_layers), full-image
+or pixel-batch MSE, per-run TensorBoard logs, intermediate PNG snapshots,
+CSV of final PSNRs, and the eval-only checkpoint path.
+
+The whole optimization step (sample -> forward -> loss -> grad -> Adam) is a
+single jit-compiled function; pixel batches are drawn on device.
+"""
+
+from __future__ import annotations
+
+import csv
+import itertools
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import build_field
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logging import TensorBoardLogger
+from ..utils.metrics import compute_psnr
+
+
+def _ensure_list(v):
+    return list(v) if isinstance(v, (list, tuple)) else [v]
+
+
+def load_target_image(path: str, image_size: int):
+    """Load + aspect-preserving resize (reference: run.py:63-78)."""
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    w0, h0 = img.size
+    scale = min(image_size / w0, image_size / h0)
+    img = img.resize((int(w0 * scale), int(h0 * scale)), Image.LANCZOS)
+    img_np = np.asarray(img, np.float32) / 255.0
+    h, w, _ = img_np.shape
+    yy, xx = np.meshgrid(np.linspace(0, 1, h, dtype=np.float32),
+                         np.linspace(0, 1, w, dtype=np.float32),
+                         indexing="ij")
+    coords = np.stack([yy, xx], axis=-1).reshape(-1, 2)
+    return jnp.asarray(coords), jnp.asarray(img_np.reshape(-1, 3)), h, w
+
+
+def _save_png(path: str, img: np.ndarray):
+    import matplotlib.pyplot as plt
+    plt.imsave(path, np.clip(img, 0.0, 1.0))
+
+
+def run_part1(cfg: dict, args) -> None:
+    epochs = cfg["epochs"]
+    learning_rate = cfg["learning_rate"]
+    batch_size = cfg.get("batch_size", None)
+    image_size = cfg.get("image_size", 400)
+    log_dir = cfg.get("log_dir", "output/")
+    image_name = os.path.splitext(os.path.basename(args.image))[0]
+    log_dir = os.path.join(log_dir, "part1", image_name)
+    save_every = cfg.get("save_every", 500)
+    log_every = cfg.get("log_every", 100)
+    output_dim = cfg["output_dim"]
+
+    coords, gt_rgb, h, w = load_target_image(args.image, image_size)
+    os.makedirs(log_dir, exist_ok=True)
+
+    if args.eval_only:
+        ckpt = load_checkpoint(args.checkpoint)
+        ckpt_cfg = ckpt.get("config", cfg)
+        field = build_field(ckpt_cfg)
+        params = jax.tree.map(jnp.asarray, ckpt["model_state_dict"])
+        pred = jnp.clip(jax.jit(field.apply)(params, coords), 0.0, 1.0)
+        mse = float(jnp.mean((pred - gt_rgb) ** 2))
+        psnr = compute_psnr(mse)
+        eval_dir = os.path.join(log_dir, "eval")
+        os.makedirs(eval_dir, exist_ok=True)
+        name = os.path.splitext(os.path.basename(args.checkpoint))[0]
+        out_path = os.path.join(eval_dir, f"{name}.png")
+        _save_png(out_path, np.asarray(pred).reshape(h, w, 3))
+        print(f">>> Eval PSNR: {psnr:.2f} dB")
+        print(f">>> Rendered image saved to: {out_path}")
+        return
+
+    combos = list(itertools.product(
+        _ensure_list(cfg.get("use_positional_encoding", True)),
+        _ensure_list(cfg["L_embed"]),
+        _ensure_list(cfg["hidden_dim"]),
+        _ensure_list(cfg.get("num_layers", 3)),
+    ))
+    total_pixels = coords.shape[0]
+    print(">>> Start Training Part 1 (2D Fitting)...")
+    print(f">>> image {h}x{w}, batch "
+          f"{'full' if batch_size is None else batch_size}, "
+          f"{len(combos)} parameter combos")
+
+    results_path = os.path.join(log_dir, "final_psnr.csv")
+    results_exists = os.path.exists(results_path)
+    tb_base_dir = os.path.join(log_dir, "tensorboard")
+    os.makedirs(tb_base_dir, exist_ok=True)
+
+    with open(results_path, "a", newline="", encoding="utf-8") as f:
+        fieldnames = ["use_positional_encoding", "L_embed", "hidden_dim",
+                      "num_layers", "epochs", "learning_rate", "batch_size",
+                      "image_size", "final_psnr"]
+        writer = csv.DictWriter(f, fieldnames=fieldnames)
+        if not results_exists:
+            writer.writeheader()
+
+        for run_idx, (use_pe, l_embed, hidden_dim, num_layers) in enumerate(
+                combos, start=1):
+            config = {
+                "mode": cfg["mode"],
+                "L_embed": l_embed,
+                "hidden_dim": hidden_dim,
+                "output_dim": output_dim,
+                "num_layers": num_layers,
+                "use_positional_encoding": use_pe,
+            }
+            run_name = (f"pe{int(bool(use_pe))}_L{l_embed}"
+                        f"_H{hidden_dim}_N{num_layers}")
+            run_dir = os.path.join(log_dir, run_name)
+            os.makedirs(run_dir, exist_ok=True)
+            tb_logger = TensorBoardLogger(os.path.join(tb_base_dir, run_name))
+            save_intermediate = isinstance(save_every, int) and save_every > 0
+            if save_intermediate:
+                steps_dir = os.path.join(run_dir, "steps")
+                os.makedirs(steps_dir, exist_ok=True)
+
+            print(f">>> [{run_idx}/{len(combos)}] config {run_name}, "
+                  f"steps={epochs}")
+
+            field = build_field(config)
+            key = jax.random.PRNGKey(cfg.get("seed", 0) + run_idx)
+            params = jax.jit(field.init)(key)
+            tx = optax.adam(learning_rate)
+            opt_state = tx.init(params)
+
+            @jax.jit
+            def train_step(params, opt_state, rng):
+                def loss_fn(p):
+                    if batch_size is None:
+                        pred = field.apply(p, coords)
+                        return jnp.mean((pred - gt_rgb) ** 2)
+                    idx = jax.random.randint(rng, (batch_size,), 0,
+                                             total_pixels)
+                    pred = field.apply(p, coords[idx])
+                    return jnp.mean((pred - gt_rgb[idx]) ** 2)
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return optax.apply_updates(params, updates), opt_state, loss
+
+            predict = jax.jit(lambda p: field.apply(p, coords))
+
+            rng = key
+            for i in range(epochs):
+                rng, srng = jax.random.split(rng)
+                params, opt_state, loss = train_step(params, opt_state, srng)
+                if (i + 1) % log_every == 0:
+                    loss_v = float(loss)
+                    tb_logger.log_scalar("Train/Loss", loss_v, i + 1)
+                    tb_logger.log_scalar("Train/PSNR",
+                                         compute_psnr(loss_v), i + 1)
+                if save_intermediate and (i + 1) % save_every == 0:
+                    img = np.asarray(predict(params)).reshape(h, w, 3)
+                    _save_png(os.path.join(steps_dir,
+                                           f"step_{i+1:05d}.png"), img)
+
+            final_pred = predict(params)
+            final_loss = float(jnp.mean((final_pred - gt_rgb) ** 2))
+            final_psnr = compute_psnr(final_loss)
+            _save_png(os.path.join(run_dir, "final.png"),
+                      np.asarray(final_pred).reshape(h, w, 3))
+            save_checkpoint(os.path.join(run_dir, "model_final.pth"),
+                            params, config)
+
+            writer.writerow({
+                "use_positional_encoding": use_pe,
+                "L_embed": l_embed,
+                "hidden_dim": hidden_dim,
+                "num_layers": num_layers,
+                "epochs": epochs,
+                "learning_rate": learning_rate,
+                "batch_size": batch_size,
+                "image_size": image_size,
+                "final_psnr": final_psnr,
+            })
+            f.flush()
+            tb_logger.log_scalar("Final/PSNR", final_psnr, epochs)
+            tb_logger.close()
+            print(f">>> Done! Final PSNR: {final_psnr:.2f} dB")

@@ -1,0 +1,316 @@
+"""Part 2 Instant — Instant-NGP-style hash-grid NeRF (reference: run.py:396-900).
+
+Training features preserved: AdamW + cosine LR, random-background
+augmentation with delayed start, hash-table TV regularization, per-module
+gradient clipping, the staged 32/128/512 density-grid update schedule with
+warmup and stop-ratio, auto scene-bound detection from camera radii, 30%%
+val-split of the test set, and best-on-val checkpointing.
+
+TPU re-design highlights:
+  * the whole step (sampling -> hash encode -> fused MLPs -> composite ->
+    regs -> AdamW) is one jitted program; the random background and its
+    delayed start are computed in-graph from the step counter;
+  * empty-space skipping uses the static-capacity compaction renderer; the
+    host flips from the mask renderer to the compaction renderer once the
+    occupancy grid turns sparse (two compiled variants, no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.blender import BlenderDataset, sample_random_rays
+from ..models import build_field
+from ..render.density_grid import (DensityGridSpec, density_grid_init,
+                                   make_grid_updater, should_update)
+from ..render.renderer import render_rays
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logging import TensorBoardLogger, get_exp_name
+from ..utils.metrics import compute_psnr
+from .common import (ImageRenderer, composite_target, evaluate_split,
+                     make_video, save_png)
+from .optimizers import build_optimizer
+
+
+def auto_scene_bound(cfg: dict, pose_sets) -> None:
+    """Resolve scene_bound: 'auto' from max camera distance +5%%
+    (reference: run.py:500-511)."""
+    if cfg.get("scene_bound") == "auto":
+        cams = np.concatenate([np.asarray(p)[:, :3, 3] for p in pose_sets])
+        max_d = float(np.linalg.norm(cams, axis=1).max())
+        cfg["scene_bound"] = max_d * 1.05
+        print(f">>> auto scene_bound: {cfg['scene_bound']:.2f} "
+              f"(max camera distance {max_d:.2f})")
+
+
+def tv_loss_flat(table: jnp.ndarray) -> jnp.ndarray:
+    """Mean |p[i+1] - p[i]| over the flat hash table
+    (reference: run.py:612-616)."""
+    flat = table.reshape(-1)
+    return jnp.mean(jnp.abs(flat[1:] - flat[:-1]))
+
+
+def run_part2_instant(cfg: dict, args) -> None:
+    if not args.data_dir:
+        raise ValueError("Part 2 Instant requires --data_dir.")
+
+    downscale = cfg.get("downscale", 2)
+    white_bkgd = cfg.get("white_bkgd", True)
+    scene_scale = cfg.get("scene_scale", 1.0)
+    near = float(cfg.get("near", 2.0))
+    far = float(cfg.get("far", 6.0))
+    n_samples = cfg.get("n_samples", 32)
+    render_n_samples = cfg.get("render_n_samples", n_samples)
+    batch_size = cfg.get("batch_size", 8192)
+    train_iters = cfg.get("train_iters", 5000)
+    learning_rate = cfg.get("learning_rate", 0.01)
+    log_every = cfg.get("log_every", 50)
+    chunk = args.render_chunk or cfg.get("chunk", 16384)
+    log_dir = os.path.join(cfg.get("log_dir", "output/part2_instant"),
+                           os.path.basename(args.data_dir))
+
+    use_density_grid = cfg.get("use_density_grid", True)
+    grid_resolution = cfg.get("grid_resolution", 128)
+    grid_threshold = cfg.get("grid_threshold", 0.01)
+    grid_warmup_iters = cfg.get("grid_warmup_iters", 256)
+    grid_stop_ratio = cfg.get("grid_stop_ratio", 0.9)
+
+    os.makedirs(log_dir, exist_ok=True)
+    render_dir = os.path.join(log_dir, "renders")
+    os.makedirs(render_dir, exist_ok=True)
+
+    train_set = BlenderDataset(args.data_dir, "train", downscale,
+                               white_bkgd, scene_scale)
+    test_split = "test"
+    if not os.path.exists(os.path.join(args.data_dir,
+                                       "transforms_test.json")):
+        test_split = "val"
+    test_set = BlenderDataset(args.data_dir, test_split, downscale,
+                              white_bkgd, scene_scale)
+
+    auto_scene_bound(cfg, [train_set.poses_np, test_set.poses_np])
+
+    # Val split: random 30% of the test images (reference: run.py:469-488).
+    val_indices = None
+    if not args.eval_only:
+        n_test = len(test_set)
+        val_indices = random.sample(range(n_test), int(n_test * 0.3))
+        print(f">>> split: train {len(train_set)} | val {len(val_indices)} "
+              f"| test {n_test}")
+
+    print(">>> building Instant-NGP field...")
+    field = build_field(cfg)
+    key = jax.random.PRNGKey(cfg.get("seed", 0))
+    params = jax.jit(field.init)(key)
+
+    grid_spec = DensityGridSpec(grid_resolution,
+                                cfg.get("scene_bound", 1.5), grid_threshold)
+    grid_state = density_grid_init(grid_spec) if use_density_grid else None
+    grid_update = (make_grid_updater(field.apply, grid_spec,
+                                     needs_time=False)
+                   if use_density_grid else None)
+    active_ratio = 1.0
+    if use_density_grid:
+        print(f">>> density grid enabled: {grid_resolution}^3")
+
+    if args.checkpoint:
+        ckpt = load_checkpoint(args.checkpoint)
+        params = jax.tree.map(jnp.asarray, ckpt["model_state_dict"])
+        if grid_state is not None and "density_grid" in ckpt:
+            grid_state = jax.tree.map(jnp.asarray, ckpt["density_grid"])
+            active_ratio = float(jnp.mean(
+                grid_state["binary"].astype(jnp.float32)))
+        print(f">>> Loaded checkpoint: {args.checkpoint} "
+              f"(step {ckpt.get('step', '?')} | "
+              f"val PSNR {ckpt.get('val_psnr', 0.0):.2f} dB)")
+
+    fixed_bg = (jnp.ones((3,), jnp.float32) if white_bkgd
+                else jnp.zeros((3,), jnp.float32))
+
+    # Static compaction capacity for the sparse-grid regime.
+    n_pts = batch_size * n_samples
+    cap_frac = cfg.get("occupancy_capacity_fraction", 1.0 / 3.0)
+    train_capacity = max(4096, int(n_pts * cap_frac) // 1024 * 1024)
+    switch_ratio = cfg.get("capacity_switch_ratio", 0.25)
+
+    if not args.eval_only:
+        tb_dir = os.path.join(log_dir, "tensorboard", get_exp_name(cfg))
+        tb_logger = TensorBoardLogger(tb_dir)
+
+        weight_decay = cfg.get("weight_decay", 1e-5)
+        eta_min = cfg.get("eta_min", 1e-4)
+        use_random_bg = cfg.get("use_random_bg", False)
+        random_bg_start = cfg.get("random_bg_start", 0)
+        use_tv_loss = cfg.get("use_tv_loss", True)
+        tv_loss_weight = float(cfg.get("tv_loss_weight", 1e-6))
+        val_every = cfg.get("val_every", 500)
+
+        tx = build_optimizer("adamw", learning_rate, train_iters,
+                             weight_decay=weight_decay, eta_min=eta_min,
+                             max_grad_norm=1.0, per_module_clip=True)
+        opt_state = tx.init(params)
+
+        data = train_set.ray_data
+        H, W, focal = train_set.H, train_set.W, train_set.focal
+
+        def make_step(capacity):
+            @partial(jax.jit, donate_argnums=(0, 1),
+                     static_argnames=("use_grid",))
+            def train_step(params, opt_state, rng, step, grid_binary,
+                           use_grid=False):
+                r_sample, r_bg, r_render = jax.random.split(rng, 3)
+                rays_o, rays_d, rgba, _ = sample_random_rays(
+                    data, r_sample, batch_size, H, W, focal, scene_scale)
+                # Random background from `random_bg_start` on
+                # (reference: run.py:588-594), selected in-graph.
+                rand_bg = jax.random.uniform(r_bg, (3,))
+                use_rand = jnp.logical_and(use_random_bg,
+                                           step >= random_bg_start)
+                bg = jnp.where(use_rand, rand_bg, fixed_bg)
+                target = composite_target(rgba, bg)
+
+                def loss_fn(p):
+                    pred, _, _, _ = render_rays(
+                        field, p, rays_o, rays_d, rng=r_render,
+                        near=near, far=far, n_samples=n_samples,
+                        perturb=True, bg_color=bg, train=True,
+                        grid_binary=grid_binary if use_grid else None,
+                        grid_spec=grid_spec,
+                        capacity=capacity if use_grid else None)
+                    loss_rgb = jnp.mean((pred - target) ** 2)
+                    loss_tv = (tv_loss_flat(p["representation"])
+                               * tv_loss_weight if use_tv_loss else 0.0)
+                    return loss_rgb + loss_tv, (loss_rgb, loss_tv)
+
+                (loss, (loss_rgb, loss_tv)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = jax.tree.map(lambda p, u: p + u, params, updates)
+                return params, opt_state, loss, loss_rgb, loss_tv
+            return train_step
+
+        step_mask = make_step(None)          # dense / warmup regime
+        step_compact = make_step(train_capacity)  # sparse regime
+
+        print(f">>> target: {train_iters} steps | lr {learning_rate} "
+              f"(cosine -> {eta_min}) | batch {batch_size} x {n_samples}")
+        if use_tv_loss:
+            print(f">>> TV loss enabled (weight={tv_loss_weight:.0e})")
+        if use_random_bg:
+            print(f">>> random background from step {random_bg_start}")
+        print(f">>> tensorboard --logdir={os.path.join(log_dir, 'tensorboard')}")
+
+        val_renderer = ImageRenderer(field, near=near, far=far,
+                                     n_samples=render_n_samples, chunk=chunk,
+                                     grid_spec=grid_spec)
+        best_val_psnr = 0.0
+        rng = key
+        dummy_binary = (grid_state["binary"] if grid_state is not None
+                        else jnp.ones((1, 1, 1), jnp.bool_))
+
+        for step in range(1, train_iters + 1):
+            rng, srng = jax.random.split(rng)
+            use_grid = grid_state is not None and step > grid_warmup_iters
+            compact = use_grid and active_ratio < switch_ratio
+            fn = step_compact if compact else step_mask
+            binary = grid_state["binary"] if grid_state is not None \
+                else dummy_binary
+            params, opt_state, loss, loss_rgb, loss_tv = fn(
+                params, opt_state, srng, jnp.int32(step), binary,
+                use_grid=use_grid)
+
+            # Staged grid updates (reference: run.py:632-646).
+            if grid_state is not None and step < train_iters * grid_stop_ratio:
+                if step < train_iters * 0.1:
+                    interval = 32
+                elif step < train_iters * 0.5:
+                    interval = 128
+                else:
+                    interval = 512
+                if should_update(step, interval, grid_warmup_iters):
+                    grid_state, ar = grid_update(
+                        params, grid_state, jnp.zeros((1,)), 1.0)
+                    active_ratio = float(ar)
+
+            if step % log_every == 0:
+                loss_rgb_v = float(loss_rgb)
+                psnr = compute_psnr(loss_rgb_v)
+                skip = (f" | Skip: {(1-active_ratio)*100:.1f}%"
+                        if grid_state is not None else "")
+                print(f">>> Step {step}/{train_iters} | "
+                      f"Loss {float(loss):.6f} | PSNR {psnr:.2f} dB{skip}")
+                tb_logger.log_scalar("Train/Loss", loss_rgb_v, step)
+                tb_logger.log_scalar("Train/PSNR", psnr, step)
+                if use_tv_loss:
+                    tb_logger.log_scalar("Train/TV_Loss", float(loss_tv), step)
+                if grid_state is not None:
+                    tb_logger.log_scalar("Train/ActiveRatio", active_ratio,
+                                         step)
+
+            if step % val_every == 0:
+                binary = grid_state["binary"] if grid_state is not None \
+                    else None
+                avg_val, _ = evaluate_split(
+                    field, params, test_set, val_renderer,
+                    grid_binary=binary, bg_color=fixed_bg,
+                    indices=val_indices)
+                print(f"    [Validation] PSNR: {avg_val:.2f} dB", end="")
+                tb_logger.log_scalar("Validation/PSNR", avg_val, step)
+                if avg_val > best_val_psnr:
+                    best_val_psnr = avg_val
+                    save_checkpoint(
+                        os.path.join(log_dir, "best_model.pth"),
+                        params, cfg, step=step, val_psnr=best_val_psnr,
+                        density_grid=grid_state)
+                    print(" | new best model saved")
+                else:
+                    print()
+
+        print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB")
+        tb_logger.close()
+
+    # ---------------------------------------------------------------- eval
+    binary = grid_state["binary"] if grid_state is not None else None
+    eval_capacity = None
+    if binary is not None and active_ratio < switch_ratio:
+        eval_capacity = max(4096, int(chunk * render_n_samples
+                                      * cap_frac) // 1024 * 1024)
+    renderer = ImageRenderer(field, near=near, far=far,
+                             n_samples=render_n_samples, chunk=chunk,
+                             grid_spec=grid_spec, capacity=eval_capacity)
+
+    if args.eval_only:
+        if args.render_n == -1:
+            picture_dir = os.path.join(log_dir, "picture")
+            os.makedirs(picture_dir, exist_ok=True)
+            print(f">>> rendering all {len(test_set)} test images for video...")
+            avg_psnr, _ = evaluate_split(
+                field, params, test_set, renderer, grid_binary=binary,
+                bg_color=fixed_bg, save_dir=picture_dir,
+                name_fn=lambda i, p, t: f"frame_{i:03d}.png")
+            print(f">>> avg PSNR: {avg_psnr:.2f} dB")
+            video_path = os.path.join(
+                log_dir, f"{os.path.basename(args.data_dir)}_24fps.mp4")
+            make_video(picture_dir, video_path)
+        else:
+            n_render = min(args.render_n, len(test_set))
+            indices = random.sample(range(len(test_set)), n_render)
+            avg_psnr, _ = evaluate_split(
+                field, params, test_set, renderer, grid_binary=binary,
+                bg_color=fixed_bg, indices=indices, save_dir=render_dir,
+                name_fn=lambda i, p, t: f"render_{i:03d}_psnr{p:.2f}.png")
+            print(f">>> avg PSNR: {avg_psnr:.2f} dB ({render_dir})")
+        return
+
+    print(f"\n>>> evaluating {test_split} set...")
+    avg_psnr, _ = evaluate_split(field, params, test_set, renderer,
+                                 grid_binary=binary, bg_color=fixed_bg)
+    print("=" * 60)
+    print(f">>> Instant-NeRF test PSNR: {avg_psnr:.2f} dB")
+    print("=" * 60)

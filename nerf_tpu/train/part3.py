@@ -1,0 +1,408 @@
+"""Part 3 — D-NeRF dynamic scenes (reference: run.py:903-1559).
+
+Three variants behind one config surface, matching the reference:
+  * canonical_type='nerf'   — Fourier-MLP canonical field,
+  * canonical_type='instant'— hash-grid canonical field + density grid,
+  * direct_time_conditioning=true — DTC ablation (no deformation field).
+
+The five-term loss (RGB + weighted-mean-delta L2 + hash TV + temporal
+smoothness + volume conservation) compiles into ONE jitted train step; the
+every-K-step regularizer cadence is realized with `lax.cond` on the in-graph
+step counter, preserving the reference's exact weights-x-cadence compensation
+(reference: run.py:1108-1163). bf16-era note: no AMP/GradScaler — JAX on TPU
+trains these fields in fp32/bf16 natively.
+
+Reference quirk intentionally not replicated: in DTC mode the reference still
+optimizes a dangling deformation MLP through the temporal/consistency losses
+even though nothing consumes it (reference: src/core.py:89-98 builds it
+unconditionally); here DTC simply has no deformation parameters.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.blender import DynamicDataset, sample_random_rays
+from ..models import build_field
+from ..render.density_grid import (DensityGridSpec, density_grid_init,
+                                   make_grid_updater, should_update,
+                                   staged_interval)
+from ..render.rays import camera_directions, orbit_poses, rays_from_pose
+from ..render.renderer import render_rays
+from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.logging import TensorBoardLogger, get_exp_name
+from ..utils.metrics import compute_psnr
+from .common import (ImageRenderer, composite_target, evaluate_split,
+                     make_video, save_png)
+from .optimizers import build_optimizer, current_lr
+from .part2_instant import tv_loss_flat
+
+
+def run_part3(cfg: dict, args) -> None:
+    if not args.data_dir:
+        raise ValueError("Part 3 requires --data_dir pointing to a dynamic "
+                         "NeRF dataset root.")
+
+    downscale = cfg.get("downscale", 1)
+    white_bkgd = cfg.get("white_bkgd", True)
+    scene_scale = cfg.get("scene_scale", 1.0)
+    near = float(cfg.get("near", 2.0))
+    far = float(cfg.get("far", 6.0))
+    n_samples = cfg.get("n_samples", 64)
+    render_n_samples = cfg.get("render_n_samples", n_samples)
+    batch_size = cfg.get("batch_size", 4096)
+    train_iters = cfg.get("train_iters", 20000)
+    learning_rate = cfg.get("learning_rate", 5e-4)
+    log_every = cfg.get("log_every", 100)
+    chunk = args.render_chunk or cfg.get("chunk", 8192)
+    deformation_reg_weight = cfg.get("deformation_reg_weight", 1e-4)
+    render_n = args.render_n
+    log_dir = os.path.join(cfg.get("log_dir", "output/part3"),
+                           os.path.basename(args.data_dir))
+
+    os.makedirs(log_dir, exist_ok=True)
+    render_dir = os.path.join(log_dir, "renders")
+    val_render_dir = os.path.join(log_dir, "val_renders")
+    os.makedirs(render_dir, exist_ok=True)
+    os.makedirs(val_render_dir, exist_ok=True)
+
+    train_set = DynamicDataset(args.data_dir, "train", downscale,
+                               white_bkgd, scene_scale)
+    val_set = DynamicDataset(args.data_dir, "val", downscale,
+                             white_bkgd, scene_scale)
+    test_split = "test"
+    if not os.path.exists(os.path.join(args.data_dir,
+                                       "transforms_test.json")):
+        test_split = "val"
+    test_set = DynamicDataset(args.data_dir, test_split, downscale,
+                              white_bkgd, scene_scale)
+    print(f">>> dataset: train {len(train_set)} | val {len(val_set)} | "
+          f"test {len(test_set)}")
+
+    field = build_field(cfg)
+    key = jax.random.PRNGKey(cfg.get("seed", 0))
+    params = jax.jit(field.init)(key)
+
+    canonical_type = cfg.get("canonical_type", "nerf")
+    use_density_grid = (canonical_type == "instant"
+                        and cfg.get("use_density_grid", True))
+    grid_spec = DensityGridSpec(cfg.get("grid_resolution", 128),
+                                cfg.get("scene_bound", 1.5),
+                                cfg.get("grid_threshold", 0.01))
+    grid_state = density_grid_init(grid_spec) if use_density_grid else None
+    grid_update = (make_grid_updater(field.apply, grid_spec, needs_time=True)
+                   if use_density_grid else None)
+    active_ratio = 1.0
+    if use_density_grid:
+        print(f">>> density grid enabled: {grid_spec.resolution}^3 "
+              f"(Instant-NGP canonical)")
+
+    if args.checkpoint:
+        ckpt = load_checkpoint(args.checkpoint)
+        params = jax.tree.map(jnp.asarray, ckpt["model_state_dict"])
+        if grid_state is not None and "density_grid" in ckpt:
+            grid_state = jax.tree.map(jnp.asarray, ckpt["density_grid"])
+            active_ratio = float(jnp.mean(
+                grid_state["binary"].astype(jnp.float32)))
+        print(f">>> Loaded checkpoint: {args.checkpoint}")
+
+    fixed_bg = (jnp.ones((3,), jnp.float32) if white_bkgd
+                else jnp.zeros((3,), jnp.float32))
+    scene_bound = cfg.get("scene_bound", 1.2)
+
+    n_pts = batch_size * n_samples
+    cap_frac = cfg.get("occupancy_capacity_fraction", 1.0 / 3.0)
+    train_capacity = max(4096, int(n_pts * cap_frac) // 1024 * 1024)
+    switch_ratio = cfg.get("capacity_switch_ratio", 0.25)
+
+    if not args.eval_only:
+        tb_dir = os.path.join(log_dir, "tensorboard", get_exp_name(cfg))
+        tb_logger = TensorBoardLogger(tb_dir)
+
+        weight_decay = cfg.get("weight_decay", 1e-5)
+        eta_min = cfg.get("eta_min", 1e-4)
+        max_grad_norm = cfg.get("max_grad_norm", 1.0)
+        tx = build_optimizer("adamw", learning_rate, train_iters,
+                             weight_decay=weight_decay, eta_min=eta_min,
+                             max_grad_norm=max_grad_norm)
+        opt_state = tx.init(params)
+
+        # Regularizer / augmentation config (reference: run.py:1030-1064).
+        use_tv_loss = (cfg.get("use_tv_loss", True)
+                       and canonical_type == "instant")
+        tv_loss_weight = float(cfg.get("tv_loss_weight", 1e-6))
+        has_deform = field.deform_delta is not None
+        use_temporal_smooth = cfg.get("use_temporal_smooth", True) \
+            and has_deform
+        temporal_smooth_weight = cfg.get("temporal_smooth_weight", 1e-4)
+        temporal_epsilon = cfg.get("temporal_epsilon", 0.02)
+        temporal_n_samples = cfg.get("temporal_n_samples", 256)
+        use_random_bg = cfg.get("use_random_bg", False)
+        random_bg_start = (cfg.get("random_bg_start", 0)
+                           if use_random_bg else 10 ** 9)
+        use_unsup = cfg.get("use_unsupervised_consistency", False) \
+            and has_deform
+        unsup_weight = cfg.get("unsup_consistency_weight", 0.001)
+        unsup_n = min(cfg.get("unsup_n_samples", 512), 512)
+        grid_warmup_iters = cfg.get("grid_warmup_iters", 256)
+        val_every = cfg.get("val_every", 500)
+
+        data = train_set.ray_data
+        H, W, focal = train_set.H, train_set.W, train_set.focal
+
+        def make_step(capacity):
+            @partial(jax.jit, donate_argnums=(0, 1),
+                     static_argnames=("use_grid",))
+            def train_step(params, opt_state, rng, step, grid_binary,
+                           use_grid=False):
+                rs = jax.random.split(rng, 6)
+                rays_o, rays_d, rgba, times = sample_random_rays(
+                    data, rs[0], batch_size, H, W, focal, scene_scale)
+                rand_bg = jax.random.uniform(rs[1], (3,))
+                use_rand = jnp.logical_and(use_random_bg,
+                                           step >= random_bg_start)
+                bg = jnp.where(use_rand, rand_bg, fixed_bg)
+                target = composite_target(rgba, bg)
+
+                def loss_fn(p):
+                    pred, _, _, extras = render_rays(
+                        field, p, rays_o, rays_d, rng=rs[2],
+                        near=near, far=far, n_samples=n_samples,
+                        perturb=True, times=times, bg_color=bg, train=True,
+                        grid_binary=grid_binary if use_grid else None,
+                        grid_spec=grid_spec,
+                        capacity=capacity if use_grid else None)
+                    loss_rgb = jnp.mean((pred - target) ** 2)
+                    loss_reg = jnp.mean(extras["mean_delta_x"] ** 2) \
+                        * deformation_reg_weight \
+                        if "mean_delta_x" in extras else 0.0
+
+                    loss_tv = (tv_loss_flat(p["canonical_repr"])
+                               * tv_loss_weight if use_tv_loss else 0.0)
+
+                    # Temporal smoothness every 2 steps, x2 compensation
+                    # (reference: run.py:1123-1145).
+                    loss_temporal = 0.0
+                    if use_temporal_smooth:
+                        def t_loss():
+                            x = jax.random.uniform(
+                                rs[3], (temporal_n_samples, 3),
+                                minval=-scene_bound, maxval=scene_bound)
+                            t0 = jax.random.uniform(
+                                rs[4], (temporal_n_samples, 1),
+                                maxval=1.0 - temporal_epsilon)
+                            d0 = field.deform_delta(p, x, t0)
+                            d1 = field.deform_delta(p, x,
+                                                    t0 + temporal_epsilon)
+                            return jnp.mean((d0 - d1) ** 2) \
+                                * temporal_smooth_weight * 2.0
+                        gate = jnp.logical_and(step > grid_warmup_iters,
+                                               step % 2 == 0)
+                        loss_temporal = jax.lax.cond(
+                            gate, t_loss, lambda: jnp.float32(0.0))
+
+                    # Volume conservation every 4 steps, x4 compensation
+                    # (reference: run.py:1147-1163).
+                    loss_unsup = 0.0
+                    if use_unsup:
+                        def u_loss():
+                            t_r = jax.random.uniform(rs[5], (unsup_n, 1))
+                            x_r = jax.random.uniform(
+                                rs[3], (unsup_n, 3),
+                                minval=-scene_bound, maxval=scene_bound)
+                            d_r = field.deform_delta(p, x_r, t_r)
+                            return jnp.mean(jnp.abs(d_r.mean(axis=0))) \
+                                * unsup_weight * 4.0
+                        gate = jnp.logical_and(step > grid_warmup_iters,
+                                               step % 4 == 0)
+                        loss_unsup = jax.lax.cond(
+                            gate, u_loss, lambda: jnp.float32(0.0))
+
+                    total = (loss_rgb + loss_reg + loss_tv
+                             + loss_temporal + loss_unsup)
+                    return total, (loss_rgb, loss_reg, loss_tv,
+                                   loss_temporal, loss_unsup)
+
+                (total, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = jax.tree.map(lambda a, u: a + u, params, updates)
+                return params, opt_state, total, aux
+            return train_step
+
+        step_mask = make_step(None)
+        step_compact = make_step(train_capacity)
+
+        print(">>> Start Training Part 3 (Dynamic NeRF)...")
+        print(f">>> tensorboard --logdir="
+              f"{os.path.join(log_dir, 'tensorboard')}")
+
+        val_renderer = ImageRenderer(field, near=near, far=far,
+                                     n_samples=render_n_samples, chunk=chunk,
+                                     grid_spec=grid_spec)
+        best_val_psnr = 0.0
+        rng = key
+        time_min = float(train_set.times_np.min())
+        time_max = float(train_set.times_np.max())
+        dummy_binary = (grid_state["binary"] if grid_state is not None
+                        else jnp.ones((1, 1, 1), jnp.bool_))
+
+        for step in range(1, train_iters + 1):
+            rng, srng = jax.random.split(rng)
+            use_grid = grid_state is not None and step > grid_warmup_iters
+            compact = use_grid and active_ratio < switch_ratio
+            fn = step_compact if compact else step_mask
+            binary = grid_state["binary"] if grid_state is not None \
+                else dummy_binary
+            params, opt_state, total, aux = fn(
+                params, opt_state, srng, jnp.int32(step), binary,
+                use_grid=use_grid)
+
+            # Time-swept grid update: union over a linspace of times
+            # (reference: run.py:1202-1220).
+            if grid_state is not None:
+                interval = staged_interval(step, train_iters, (16, 64, 256))
+                if should_update(step, interval, grid_warmup_iters):
+                    n_t = 16 if step < 1000 else 8
+                    sweep = jnp.linspace(time_min, time_max, n_t)
+                    grid_state, ar = grid_update(params, grid_state,
+                                                 sweep, 1.0)
+                    active_ratio = float(ar)
+
+            if step % log_every == 0:
+                l_rgb, l_reg, l_tv, l_temp, l_unsup = [float(a) for a in aux]
+                psnr = compute_psnr(l_rgb)
+                lr_now = current_lr(learning_rate, step, train_iters, eta_min)
+                skip = (f" | Skip: {(1-active_ratio)*100:.1f}%"
+                        if grid_state is not None else "")
+                print(f">>> Step {step}/{train_iters} | "
+                      f"Loss {float(total):.6f} | PSNR {psnr:.2f} dB | "
+                      f"LR {lr_now:.6f}{skip}")
+                tb_logger.log_scalar("Train/RGB_Loss", l_rgb, step)
+                tb_logger.log_scalar("Train/Reg_Loss", l_reg, step)
+                tb_logger.log_scalar("Train/Total_Loss", float(total), step)
+                tb_logger.log_scalar("Train/PSNR", psnr, step)
+                tb_logger.log_scalar("Train/LearningRate", lr_now, step)
+                if use_tv_loss:
+                    tb_logger.log_scalar("Train/TV_Loss", l_tv, step)
+                if use_temporal_smooth:
+                    tb_logger.log_scalar("Train/Temporal_Loss", l_temp, step)
+                if use_unsup:
+                    tb_logger.log_scalar("Train/Unsup_Loss", l_unsup, step)
+                if grid_state is not None:
+                    tb_logger.log_scalar("Train/ActiveRatio", active_ratio,
+                                         step)
+
+            if step % val_every == 0:
+                n_save = min(5, len(val_set))
+                save_idx = set(random.sample(range(len(val_set)), n_save))
+                step_val_dir = os.path.join(val_render_dir,
+                                            f"step_{step:06d}")
+                os.makedirs(step_val_dir, exist_ok=True)
+                binary = grid_state["binary"] if grid_state is not None \
+                    else None
+
+                def name_fn(i, p, t):
+                    return f"val_{i:03d}_t{t:.2f}_psnr{p:.2f}.png"
+                avg_val, _ = evaluate_split(
+                    field, params, val_set, val_renderer,
+                    grid_binary=binary, bg_color=fixed_bg,
+                    indices=sorted(save_idx), save_dir=step_val_dir,
+                    name_fn=name_fn)
+                # PSNR over the full val set (images beyond the saved ones).
+                rest = [i for i in range(len(val_set)) if i not in save_idx]
+                if rest:
+                    avg_rest, ps_rest = evaluate_split(
+                        field, params, val_set, val_renderer,
+                        grid_binary=binary, bg_color=fixed_bg, indices=rest)
+                    avg_val = (avg_val * n_save + avg_rest * len(rest)) \
+                        / (n_save + len(rest))
+                print(f"    [Validation] PSNR: {avg_val:.2f} dB", end="")
+                tb_logger.log_scalar("Validation/PSNR", avg_val, step)
+                if avg_val > best_val_psnr:
+                    best_val_psnr = avg_val
+                    save_checkpoint(os.path.join(log_dir, "best_model.pth"),
+                                    params, cfg, step=step,
+                                    val_psnr=best_val_psnr,
+                                    density_grid=grid_state)
+                    print(" | new best model saved")
+                else:
+                    print()
+
+        print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB")
+        tb_logger.close()
+
+    # -------------------------------------------------------------- eval
+    _part3_eval(cfg, args, field, params, grid_state, grid_spec,
+                active_ratio, test_set, test_split, log_dir, render_dir,
+                near, far, render_n_samples, chunk, fixed_bg, render_n,
+                cap_frac, switch_ratio)
+
+
+def _part3_eval(cfg, args, field, params, grid_state, grid_spec,
+                active_ratio, test_set, test_split, log_dir, render_dir,
+                near, far, render_n_samples, chunk, fixed_bg, render_n,
+                cap_frac, switch_ratio, video_suffix=""):
+    """Shared part3/part4 eval stage: orbit video or test-set render
+    (reference: run.py:1346-1559, 2105-2331)."""
+    binary = grid_state["binary"] if grid_state is not None else None
+    eval_capacity = None
+    if binary is not None and active_ratio < switch_ratio:
+        eval_capacity = max(4096, int(chunk * render_n_samples
+                                      * cap_frac) // 1024 * 1024)
+    renderer = ImageRenderer(field, near=near, far=far,
+                             n_samples=render_n_samples, chunk=chunk,
+                             grid_spec=grid_spec, capacity=eval_capacity)
+    picture_dir = os.path.join(log_dir, "picture")
+    os.makedirs(picture_dir, exist_ok=True)
+
+    if render_n == -1:
+        n_frames = cfg.get("video_frames", 300)
+        n_rotations = cfg.get("n_rotations", 2)
+        radius = cfg.get("camera_radius", 2.4)
+        center = cfg.get("scene_center", [0.0, 0.0, 0.0])
+        height = cfg.get("camera_height", 2.8)
+        print(f">>> orbit render: {n_frames} frames, {n_rotations} "
+              f"rotations, time 0->1, radius {radius:.3f}")
+
+        poses = orbit_poses(n_frames, radius, center, height, n_rotations)
+        times = np.linspace(0.0, 1.0, n_frames)
+        H, W, focal = test_set.H, test_set.W, test_set.focal
+        dirs = camera_directions(H, W, focal)
+        for i in range(n_frames):
+            rays_o, rays_d = rays_from_pose(dirs, jnp.asarray(poses[i]),
+                                            test_set.scene_scale)
+            pred = renderer(params, rays_o, rays_d, time=float(times[i]),
+                            grid_binary=binary, bg_color=fixed_bg)
+            save_png(os.path.join(picture_dir, f"frame_{i:03d}.png"),
+                     np.asarray(jnp.clip(pred, 0.0, 1.0)))
+        print(f">>> orbit render done: {n_frames} frames")
+        psnrs = []
+    else:
+        print(f">>> Rendering {test_split} set...")
+        num = min(render_n, len(test_set))
+        psnrs = []
+        for i in range(num):
+            rays_o, rays_d, target, t = test_set.get_image_rays(i)
+            pred = renderer(params, rays_o, rays_d, time=t,
+                            grid_binary=binary, bg_color=fixed_bg)
+            pred = jnp.clip(pred, 0.0, 1.0)
+            p = compute_psnr(float(jnp.mean((pred - target) ** 2)))
+            psnrs.append(p)
+            img = np.asarray(pred)
+            save_png(os.path.join(picture_dir, f"frame_{i:03d}.png"), img)
+            save_png(os.path.join(render_dir,
+                                  f"{test_split}_{i:03d}_t{t:.2f}.png"), img)
+
+    if psnrs:
+        print(f"\n>>> Test PSNR: {float(np.mean(psnrs)):.2f} dB")
+    dataset_name = os.path.basename(args.data_dir)
+    video_path = os.path.join(log_dir,
+                              f"{dataset_name}{video_suffix}_24fps.mp4")
+    make_video(picture_dir, video_path)

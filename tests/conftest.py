@@ -3,13 +3,17 @@ sharding logic is exercised without TPU hardware (SURVEY.md section 4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The image's sitecustomize pins JAX_PLATFORMS to the tunneled TPU ("axon"),
+# so a plain env override is not enough — force CPU via the config API too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402  (import after env setup)
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,86 @@
+"""Headline benchmark: Instant-NGP 800x800 render FPS on one TPU chip.
+
+Mirrors the reference's render-speed benchmark path (README: "10+ FPS at
+800x800 with density grid", reference: run.py:736-813): a full-image render
+of the part2_instant field at the published config (16-level 2^19 hash grid,
+64-wide fused MLPs, 128 samples/ray, 128^3 occupancy grid) with empty-space
+skipping. The occupancy grid is synthesized at a trained-scene-typical
+sparsity (~12% active); with the static-capacity compaction renderer the
+compute cost depends only on the capacity, so timing with random weights is
+representative of a trained model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+baseline is the reference's 10 FPS on an RTX 4060 Laptop.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from nerf_tpu.models import build_field
+    from nerf_tpu.render.density_grid import DensityGridSpec
+    from nerf_tpu.render.rays import camera_directions, orbit_poses, \
+        rays_from_pose
+    from nerf_tpu.train.common import ImageRenderer
+
+    cfg = {
+        "mode": "part2_instant",
+        "n_levels": 16, "n_features_per_level": 2, "log2_hashmap_size": 19,
+        "base_resolution": 16, "per_level_scale": 1.5, "scene_bound": 1.5,
+        "L_embed_dir": 4, "hidden_dim": 64,
+    }
+    H = W = 800
+    n_samples = 128
+    chunk = int(__import__("os").environ.get("BENCH_CHUNK", 40000))
+
+    field = build_field(cfg)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(field.init)(key)
+
+    # Occupancy grid at trained-scene-typical sparsity: a centered ball
+    # covering ~12% of the 128^3 volume (lego-like active ratio).
+    grid_spec = DensityGridSpec(resolution=128, bound=1.5, threshold=0.01)
+    lin = np.linspace(-1.5, 1.5, 128, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
+    binary = jnp.asarray((xx**2 + yy**2 + zz**2) < 0.9**2)
+    active_ratio = float(binary.mean())
+
+    # Static compaction capacity: 2x the active ratio for safety margin.
+    capacity = int(chunk * n_samples * min(1.0, active_ratio * 2.0))
+    capacity = max(4096, capacity // 1024 * 1024)
+
+    renderer = ImageRenderer(field, near=2.0, far=6.0, n_samples=n_samples,
+                             chunk=chunk, grid_spec=grid_spec,
+                             capacity=capacity)
+
+    pose = jnp.asarray(orbit_poses(1, radius=4.0, center=[0, 0, 0],
+                                   height=1.0)[0])
+    dirs = camera_directions(H, W, 0.5 * W / np.tan(0.4))
+    rays_o, rays_d = rays_from_pose(dirs, pose)
+
+    # Warmup (compile) + timed renders.
+    img = renderer(params, rays_o, rays_d, grid_binary=binary)
+    img.block_until_ready()
+    n_frames = 5
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        img = renderer(params, rays_o, rays_d, grid_binary=binary)
+    img.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_frames
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "instant_ngp_render_fps_800x800",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

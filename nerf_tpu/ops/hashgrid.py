@@ -7,24 +7,44 @@ read the raw flat parameter vector (reference: run.py:612-616, 1113-1120,
 1842-1859) — and the part-4 init-noise perturbation
 (reference: src/core.py:192-196) carry over directly.
 
-Encoding semantics:
-  * L levels; level l has vertex resolution `res_l = floor(base * scale^l)`.
-  * Coarse levels whose full grid fits in the table are indexed densely
-    (x + y*res + z*res^2); finer levels use the Instant-NGP spatial hash
-    (XOR of per-axis large-prime multiplies, masked to the table size).
-  * Per level, features are trilinearly interpolated from the 8 cell corners
-    and the per-level results are concatenated: out_dim = L * F.
-  * World coords in [-bound, bound] are mapped to [0, 1] and clamped, matching
-    the reference wrapper (reference: src/embeddings.py:84-87).
+Encoding semantics match Instant-NGP: L levels with vertex resolution
+`res_l = floor(base * scale^l)`; per level the 8 cell corners are trilinearly
+blended; per-level features concatenate to out_dim = L * F. World coords in
+[-bound, bound] map to [0, 1] and clamp (reference: src/embeddings.py:84-87).
 
-TPU design notes:
-  * The level loop is a static Python loop (16 iterations) so XLA sees a flat
-    graph of gathers + FMAs it can pipeline; all shapes are static.
-  * Gradients flow through `jnp.take` — XLA transposes the gather into a
-    scatter-add into the table, which is the TPU-idiomatic equivalent of
-    tcnn's atomic-add backward.
-  * The table is kept fp32 (hash features are tiny; the gather traffic, not
-    the math, dominates); callers cast the output to their compute dtype.
+------------------------------------------------------------------------------
+TPU-native storage: BRICK ROWS, not per-vertex entries.
+
+Measured on a v5e chip, XLA's arbitrary gather runs at ~9 ns *per scalar*
+(descriptor-rate-bound, independent of sortedness), so the GPU layout —
+8 scalar vertex lookups x L levels per point — costs ~2.3 us/point and is
+~1000x slower than the MXU. The same hardware row-gathers 512-byte rows at
+~4.4 ns/row and row-scatter-adds at ~7.7 ns/row. The encoding is therefore
+restructured around wide rows:
+
+  * Each level is stored as overlapping BRICKS of 4x4x4 vertices with a
+    stride of 3 cells: brick = 64 vertices x F=2 features = exactly one
+    128-float row. Any cell's 8 corners live inside a single brick, so a
+    point needs ONE row-gather per level (L rows/point instead of 8L scalar
+    gathers).
+  * Coarse levels store all bricks densely; fine levels spatially hash the
+    brick coordinate (Instant-NGP primes) into a fixed brick budget of
+    2^(log2_hashmap_size - 6) rows — 64 vertices/brick keeps the vertex
+    capacity equal to the reference's 2^log2_hashmap_size table.
+  * Corner extraction from the fetched row uses one-hot lane masks
+    (iota == offset) accumulated over the 8 corners — pure VPU compare/FMA
+    that XLA fuses into the gather consumer; `take_along_axis` here would
+    fall back to scalar gathers.
+  * The backward pass is ordinary XLA autodiff: the one-hot masks transpose
+    to elementwise math and the row gather transposes to a row scatter-add —
+    both on the fast path. No custom VJP needed.
+
+Trade-off vs the reference layout: vertices on brick seams are stored twice
+(overlap) and the two copies can drift, which is a C0 seam every 3 cells at
+one level — but seams of different levels never align (resolutions are
+geometric) and the decoder MLP smooths them, the same way it absorbs the hash
+collisions Instant-NGP already tolerates. Bricks also collide as units in the
+hashed levels; the budget keeps per-vertex capacity at parity.
 """
 
 from __future__ import annotations
@@ -36,8 +56,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Instant-NGP spatial-hash primes (Mueller et al. 2022, arXiv:2201.05989).
+# Instant-NGP spatial-hash primes (Mueller et al. 2022, arXiv:2201.05989),
+# applied to brick coordinates.
 _PRIMES = (1, 2654435761, 805459861)
+
+# Brick geometry: 4^3 vertices (one 128-lane row at F=2), 3^3 cells.
+_BRICK_V = 4          # vertices per axis
+_BRICK_C = 3          # cells per axis (stride)
+_ROW_W = 128          # row width in table scalars
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,7 +71,8 @@ class HashGridSpec:
     """Static configuration of a multiresolution hash grid.
 
     Mirrors the reference's constructor surface
-    (reference: src/embeddings.py:45-52).
+    (reference: src/embeddings.py:45-52). `log2_hashmap_size` is the
+    per-level VERTEX capacity; the brick budget is derived from it.
     """
     n_levels: int = 16
     n_features_per_level: int = 2
@@ -54,37 +81,56 @@ class HashGridSpec:
     per_level_scale: float = 1.5
     bound: float = 1.0
 
+    def __post_init__(self):
+        if self.n_features_per_level != 2:
+            raise NotImplementedError(
+                "brick rows are laid out for n_features_per_level=2 "
+                "(64 vertices x 2 = one 128-wide row)")
+
     @property
     def resolutions(self) -> Tuple[int, ...]:
         return tuple(
-            int(np.floor(self.base_resolution * self.per_level_scale ** l))
+            max(2, int(np.floor(self.base_resolution
+                                * self.per_level_scale ** l)))
             for l in range(self.n_levels)
         )
 
     @property
-    def hashmap_size(self) -> int:
-        return 1 << self.log2_hashmap_size
+    def max_bricks(self) -> int:
+        """Hashed-level brick budget: vertex capacity / 64."""
+        return max(1 << (self.log2_hashmap_size - 6), 8)
 
     @property
-    def level_sizes(self) -> Tuple[int, ...]:
-        """Number of table entries per level (dense if the grid fits)."""
-        sizes = []
-        for res in self.resolutions:
-            dense = res ** 3
-            sizes.append(dense if dense <= self.hashmap_size
-                         else self.hashmap_size)
-        return tuple(sizes)
+    def bricks_per_axis(self) -> Tuple[int, ...]:
+        return tuple(max(1, -(-(res - 1) // _BRICK_C))
+                     for res in self.resolutions)
+
+    @property
+    def level_bricks(self) -> Tuple[int, ...]:
+        """Number of brick rows per level (dense if the grid fits)."""
+        out = []
+        for nb in self.bricks_per_axis:
+            dense = nb ** 3
+            out.append(dense if dense <= self.max_bricks
+                       else self.max_bricks)
+        return tuple(out)
 
     @property
     def level_offsets(self) -> Tuple[int, ...]:
         offs = [0]
-        for s in self.level_sizes:
+        for s in self.level_bricks:
             offs.append(offs[-1] + s)
         return tuple(offs)
 
     @property
-    def n_entries(self) -> int:
+    def n_bricks(self) -> int:
         return self.level_offsets[-1]
+
+    @property
+    def n_entries(self) -> int:
+        """Total table scalars / F (kept for parity with the flat-table
+        parameter-count surface)."""
+        return self.n_bricks * (_ROW_W // self.n_features_per_level)
 
     @property
     def out_dim(self) -> int:
@@ -93,33 +139,10 @@ class HashGridSpec:
 
 def hash_grid_init(key: jax.Array, spec: HashGridSpec,
                    dtype=jnp.float32) -> jnp.ndarray:
-    """Init the flat feature table [n_entries, F] with U(-1e-4, 1e-4).
-
-    (The same init scale tiny-cuda-nn uses for grid encodings.)
-    """
+    """Init the brick table [n_bricks, 128] with U(-1e-4, 1e-4)
+    (the same init scale tiny-cuda-nn uses for grid encodings)."""
     return jax.random.uniform(
-        key, (spec.n_entries, spec.n_features_per_level), dtype, -1e-4, 1e-4)
-
-
-# Precomputed corner offsets of a unit cell, shape [8, 3].
-_CORNERS = np.array(
-    [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], dtype=np.int32)
-
-
-def _level_indices(coords: jnp.ndarray, res: int, size: int) -> jnp.ndarray:
-    """Map integer grid coords [..., 3] to table indices [...] for one level."""
-    if res ** 3 <= size:
-        # Dense indexing: the whole grid fits in the table.
-        c = coords.astype(jnp.uint32)
-        idx = c[..., 0] + c[..., 1] * np.uint32(res) \
-            + c[..., 2] * np.uint32(res * res)
-    else:
-        c = coords.astype(jnp.uint32)
-        idx = (c[..., 0] * np.uint32(_PRIMES[0])) \
-            ^ (c[..., 1] * np.uint32(_PRIMES[1])) \
-            ^ (c[..., 2] * np.uint32(_PRIMES[2]))
-        idx = idx & np.uint32(size - 1)
-    return idx.astype(jnp.int32)
+        key, (spec.n_bricks, _ROW_W), dtype, -1e-4, 1e-4)
 
 
 def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
@@ -127,38 +150,74 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
     """Encode world-space points with the multiresolution hash grid.
 
     Args:
-      table: [n_entries, F] flat feature table (from `hash_grid_init`).
+      table: [n_bricks, 128] brick table (from `hash_grid_init`).
       x: [N, 3] world coordinates in [-bound, bound] (clamped otherwise).
       spec: static grid configuration.
 
     Returns:
       [N, L*F] concatenated per-level features (level-major), fp32.
     """
-    # [-bound, bound] -> [0, 1], clamp (reference: src/embeddings.py:84-87).
-    x01 = (x.astype(jnp.float32) + spec.bound) / (2.0 * spec.bound)
-    x01 = jnp.clip(x01, 0.0, 1.0)
+    n = x.shape[0]
+    xf = x.astype(jnp.float32)
+    x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
 
-    corners = jnp.asarray(_CORNERS)  # [8, 3]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _ROW_W), 1)
+
     feats = []
-    for lvl, res in enumerate(spec.resolutions):
-        size = spec.level_sizes[lvl]
+    for lvl in range(spec.n_levels):
+        res = spec.resolutions[lvl]
+        nb = spec.bricks_per_axis[lvl]
+        n_rows = spec.level_bricks[lvl]
         offset = spec.level_offsets[lvl]
-        pos = x01 * np.float32(res - 1)          # [N, 3]
-        p0 = jnp.floor(pos)
-        frac = pos - p0                          # [N, 3]
-        p0 = p0.astype(jnp.int32)
 
-        # [N, 8, 3] corner coords, clipped to the valid vertex range.
-        cc = jnp.clip(p0[:, None, :] + corners[None, :, :], 0, res - 1)
-        idx = _level_indices(cc, res, size) + offset       # [N, 8]
+        pos = x01 * np.float32(res - 1)                     # [N, 3]
+        p0 = jnp.clip(jnp.floor(pos), 0, res - 2).astype(jnp.int32)
+        frac = pos - p0.astype(jnp.float32)                 # [N, 3]
 
-        # Trilinear weights: prod over dims of (frac if corner==1 else 1-frac).
-        w = jnp.where(corners[None, :, :] == 1,
-                      frac[:, None, :], 1.0 - frac[:, None, :])
-        w = w[..., 0] * w[..., 1] * w[..., 2]              # [N, 8]
+        brick = p0 // _BRICK_C                              # [N, 3]
+        q = p0 - brick * _BRICK_C                           # local in [0,2]
 
-        vals = jnp.take(table, idx.reshape(-1), axis=0)    # [N*8, F]
-        vals = vals.reshape(idx.shape + (table.shape[-1],))
-        feats.append(jnp.sum(w[..., None] * vals, axis=1))  # [N, F]
+        if nb ** 3 <= n_rows:                               # dense level
+            b = brick.astype(jnp.uint32)
+            row = b[:, 0] + b[:, 1] * np.uint32(nb) \
+                + b[:, 2] * np.uint32(nb * nb)
+        else:                                               # hashed level
+            b = brick.astype(jnp.uint32)
+            row = ((b[:, 0] * np.uint32(_PRIMES[0]))
+                   ^ (b[:, 1] * np.uint32(_PRIMES[1]))
+                   ^ (b[:, 2] * np.uint32(_PRIMES[2]))) \
+                & np.uint32(n_rows - 1)
+        idx = row.astype(jnp.int32) + offset                # [N]
 
-    return jnp.concatenate(feats, axis=-1)
+        # Row-gather this level's bricks; the rows are consumed by the
+        # extraction below before the next level's gather, so peak memory
+        # stays at one [N, 128] buffer (a batched [N, L, 128] gather would
+        # materialize L x that).
+        rows = jnp.take(table, idx, axis=0,
+                        unique_indices=False,
+                        mode="clip").astype(jnp.float32)
+
+        # Factorized trilinear extraction in lane space. Row lane layout is
+        # ((i*4 + j)*4 + k)*2 + f, so lane>>5 = i, (lane>>3)&3 = j,
+        # (lane>>1)&3 = k. Each axis is contracted with a 2-tap mask
+        # ((plane == q)*(1-frac) + (plane == q+1)*frac) followed by a fold
+        # of the 4 strided segments — all static lane slices, no gathers.
+        fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
+        qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+
+        plane_i = lane >> 5                                  # [1, 128]
+        mx = ((plane_i == qx) * (1.0 - fx) + (plane_i == qx + 1) * fx)
+        v = rows * mx                                        # [N, 128]
+        y = v[:, 0:32] + v[:, 32:64] + v[:, 64:96] + v[:, 96:128]  # [N, 32]
+
+        plane_j = lane[:, 0:32] >> 3
+        my = ((plane_j == qy) * (1.0 - fy) + (plane_j == qy + 1) * fy)
+        v = y * my
+        y = v[:, 0:8] + v[:, 8:16] + v[:, 16:24] + v[:, 24:32]     # [N, 8]
+
+        plane_k = lane[:, 0:8] >> 1
+        mz = ((plane_k == qz) * (1.0 - fz) + (plane_k == qz + 1) * fz)
+        v = y * mz
+        y = v[:, 0:2] + v[:, 2:4] + v[:, 4:6] + v[:, 6:8]          # [N, 2]
+        feats.append(y)
+    return jnp.concatenate(feats, axis=-1)                   # [N, L*F]

@@ -36,7 +36,7 @@ def main():
     }
     H = W = 800
     n_samples = 128
-    chunk = int(__import__("os").environ.get("BENCH_CHUNK", 40000))
+    chunk = int(__import__("os").environ.get("BENCH_CHUNK", 16384))
 
     field = build_field(cfg)
     key = jax.random.PRNGKey(0)
@@ -50,8 +50,8 @@ def main():
     binary = jnp.asarray((xx**2 + yy**2 + zz**2) < 0.9**2)
     active_ratio = float(binary.mean())
 
-    # Static compaction capacity: 2x the active ratio for safety margin.
-    capacity = int(chunk * n_samples * min(1.0, active_ratio * 2.0))
+    # Static compaction capacity: ~the active ratio with headroom.
+    capacity = int(chunk * n_samples * min(1.0, active_ratio * 1.15))
     capacity = max(4096, capacity // 1024 * 1024)
 
     renderer = ImageRenderer(field, near=2.0, far=6.0, n_samples=n_samples,

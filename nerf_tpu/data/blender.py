@@ -32,7 +32,20 @@ class RayData(NamedTuple):
 
 
 def _load_frames(root_dir: str, split: str, downscale: int):
-    from PIL import Image
+    # Image decode path: the native C++ loader (PNG + Lanczos-3, see
+    # native/loader.cpp) unless disabled; PIL handles everything else.
+    use_native = os.environ.get("NERF_TPU_NATIVE_LOADER", "1") != "0"
+    from .native_loader import load_image_rgba
+
+    def _load(path):
+        if use_native:
+            return load_image_rgba(path, downscale)
+        from PIL import Image
+        img = Image.open(path).convert("RGBA")
+        if downscale > 1:
+            img = img.resize((img.width // downscale,
+                              img.height // downscale), Image.LANCZOS)
+        return np.asarray(img, np.float32) / 255.0
 
     meta_path = os.path.join(root_dir, f"transforms_{split}.json")
     with open(meta_path, "r", encoding="utf-8") as f:
@@ -52,11 +65,7 @@ def _load_frames(root_dir: str, split: str, downscale: int):
                 if os.path.exists(img_path + ext):
                     img_path += ext
                     break
-        img = Image.open(img_path).convert("RGBA")
-        if downscale > 1:
-            img = img.resize((img.width // downscale,
-                              img.height // downscale), Image.LANCZOS)
-        images.append(np.asarray(img, np.float32) / 255.0)
+        images.append(_load(img_path))
         poses.append(np.asarray(frame["transform_matrix"], np.float32))
         if "time" in frame:
             times.append(float(frame["time"]))

@@ -33,6 +33,7 @@ from ..render.renderer import render_rays
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import TensorBoardLogger, get_exp_name
 from ..utils.metrics import compute_psnr
+from ..utils.profiling import StepTimer, TraceCapture
 from .common import (ImageRenderer, composite_target, evaluate_split,
                      make_video, save_png)
 from .optimizers import build_optimizer
@@ -213,8 +214,11 @@ def run_part2_instant(cfg: dict, args) -> None:
         rng = key
         dummy_binary = (grid_state["binary"] if grid_state is not None
                         else jnp.ones((1, 1, 1), jnp.bool_))
+        timer = StepTimer(batch_size)
+        trace = TraceCapture(cfg)
 
         for step in range(1, train_iters + 1):
+            trace.step(step)
             rng, srng = jax.random.split(rng)
             use_grid = grid_state is not None and step > grid_warmup_iters
             compact = use_grid and active_ratio < switch_ratio
@@ -247,6 +251,9 @@ def run_part2_instant(cfg: dict, args) -> None:
                       f"Loss {float(loss):.6f} | PSNR {psnr:.2f} dB{skip}")
                 tb_logger.log_scalar("Train/Loss", loss_rgb_v, step)
                 tb_logger.log_scalar("Train/PSNR", psnr, step)
+                sps, rps = timer.rate(step)
+                tb_logger.log_scalar("Train/StepsPerSec", sps, step)
+                tb_logger.log_scalar("Train/RaysPerSec", rps, step)
                 if use_tv_loss:
                     tb_logger.log_scalar("Train/TV_Loss", float(loss_tv), step)
                 if grid_state is not None:
@@ -273,6 +280,7 @@ def run_part2_instant(cfg: dict, args) -> None:
                     print()
 
         print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB")
+        trace.close()
         tb_logger.close()
 
     # ---------------------------------------------------------------- eval

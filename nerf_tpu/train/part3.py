@@ -38,6 +38,7 @@ from ..render.renderer import render_rays
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import TensorBoardLogger, get_exp_name
 from ..utils.metrics import compute_psnr
+from ..utils.profiling import StepTimer, TraceCapture
 from .common import (ImageRenderer, composite_target, evaluate_split,
                      make_video, save_png)
 from .optimizers import build_optimizer, current_lr
@@ -248,12 +249,15 @@ def run_part3(cfg: dict, args) -> None:
                                      grid_spec=grid_spec)
         best_val_psnr = 0.0
         rng = key
+        timer = StepTimer(batch_size)
+        trace = TraceCapture(cfg)
         time_min = float(train_set.times_np.min())
         time_max = float(train_set.times_np.max())
         dummy_binary = (grid_state["binary"] if grid_state is not None
                         else jnp.ones((1, 1, 1), jnp.bool_))
 
         for step in range(1, train_iters + 1):
+            trace.step(step)
             rng, srng = jax.random.split(rng)
             use_grid = grid_state is not None and step > grid_warmup_iters
             compact = use_grid and active_ratio < switch_ratio
@@ -289,6 +293,9 @@ def run_part3(cfg: dict, args) -> None:
                 tb_logger.log_scalar("Train/Total_Loss", float(total), step)
                 tb_logger.log_scalar("Train/PSNR", psnr, step)
                 tb_logger.log_scalar("Train/LearningRate", lr_now, step)
+                sps, rps = timer.rate(step)
+                tb_logger.log_scalar("Train/StepsPerSec", sps, step)
+                tb_logger.log_scalar("Train/RaysPerSec", rps, step)
                 if use_tv_loss:
                     tb_logger.log_scalar("Train/TV_Loss", l_tv, step)
                 if use_temporal_smooth:
@@ -336,6 +343,7 @@ def run_part3(cfg: dict, args) -> None:
                     print()
 
         print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB")
+        trace.close()
         tb_logger.close()
 
     # -------------------------------------------------------------- eval

@@ -32,6 +32,7 @@ from ..render.renderer import render_rays
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import TensorBoardLogger, get_exp_name
 from ..utils.metrics import compute_psnr
+from ..utils.profiling import StepTimer, TraceCapture
 from .common import ImageRenderer, composite_target, evaluate_split
 from .optimizers import build_optimizer, current_lr
 from .part2_instant import tv_loss_flat
@@ -285,11 +286,14 @@ def run_part4(cfg: dict, args) -> None:
                                      grid_spec=grid_spec)
         best_val_psnr = 0.0
         rng = key
+        timer = StepTimer(batch_size)
+        trace = TraceCapture(cfg)
         anchor_times = jnp.asarray([0.0, 0.5, 1.0])
         dummy_binary = (grid_state["binary"] if grid_state is not None
                         else jnp.ones((1, 1, 1), jnp.bool_))
 
         for step in range(1, train_iters + 1):
+            trace.step(step)
             rng, srng = jax.random.split(rng)
             use_grid = grid_state is not None and step > grid_warmup_iters
             compact = use_grid and active_ratio < switch_ratio
@@ -323,6 +327,9 @@ def run_part4(cfg: dict, args) -> None:
                 tb_logger.log_scalar("Train/Total_Loss", float(total), step)
                 tb_logger.log_scalar("Train/PSNR", psnr, step)
                 tb_logger.log_scalar("Train/LearningRate", lr_now, step)
+                sps, rps = timer.rate(step)
+                tb_logger.log_scalar("Train/StepsPerSec", sps, step)
+                tb_logger.log_scalar("Train/RaysPerSec", rps, step)
                 if use_tv_disp:
                     tb_logger.log_scalar("Train/TV_Displacement_Loss",
                                          l_tvd, step)
@@ -375,6 +382,7 @@ def run_part4(cfg: dict, args) -> None:
                     print()
 
         print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB")
+        trace.close()
         tb_logger.close()
 
     # ------------------------------------------------------------- eval

@@ -68,6 +68,14 @@ def _noise(rng, x, std):
     return x + jax.random.normal(rng, x.shape, x.dtype) * std
 
 
+def _compute_dtype(cfg: dict):
+    """Decoder compute dtype. bf16 halves the MLP/extraction cost on TPU and
+    replaces the reference's AMP machinery (reference: run.py:21-27); density
+    softplus and compositing always stay fp32."""
+    return jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" \
+        else jnp.float32
+
+
 def build_field(config: dict) -> Field:
     mode = config["mode"]
     builder = {
@@ -135,6 +143,7 @@ def _build_part2_instant(cfg: dict) -> Field:
     spec = _hash_spec_from_cfg(cfg, default_bound=1.0)
     L_dir = cfg.get("L_embed_dir", 4)
     dir_dim = fourier_out_dim(3, L_dir)
+    cd = _compute_dtype(cfg)
 
     def init(key):
         k1, k2 = jax.random.split(key)
@@ -146,8 +155,8 @@ def _build_part2_instant(cfg: dict) -> Field:
         }
 
     def apply(params, x, d=None, t=None, *, train=False, rng=None):
-        h = hash_encode(params["representation"], x, spec)
-        de = fourier_encode(d, L_dir)
+        h = hash_encode(params["representation"], x, spec).astype(cd)
+        de = fourier_encode(d, L_dir).astype(cd)
         return D.instant_decoder_apply(params["decoder"], h, de)
 
     return Field(mode="part2_instant", init=init, apply=apply,
@@ -171,6 +180,7 @@ def _build_part3(cfg: dict) -> Field:
     use_coord_noise = cfg.get("use_coord_noise", False)
     coord_std = cfg.get("coord_noise_std", 0.005)
     time_std = cfg.get("time_noise_std", 0.02)
+    cd = _compute_dtype(cfg)
 
     spec = None
     if canonical_type == "instant":
@@ -248,7 +258,8 @@ def _build_part3(cfg: dict) -> Field:
         fd = fourier_encode(d, L_dir)
         h = jnp.concatenate([feat_can, ft], axis=-1)
         if canonical_type == "instant":
-            rgb, sigma = D.instant_decoder_apply(params["decoder"], h, fd)
+            rgb, sigma = D.instant_decoder_apply(params["decoder"],
+                                                 h.astype(cd), fd.astype(cd))
         else:
             rgb, sigma = D.nerf_decoder_apply(params["decoder"], h, fd,
                                               skip=skip)
@@ -285,6 +296,7 @@ def _build_part4(cfg: dict) -> Field:
     use_coord_noise = cfg.get("use_coord_noise", False)
     coord_std = cfg.get("coord_noise_std", 0.005)
     time_std = cfg.get("time_noise_std", 0.02)
+    cd = _compute_dtype(cfg)
 
     # Interpolation anchors at t = 0, 0.5, 1 with triangle weights of
     # bandwidth 0.5 (reference: src/core.py:300-338; the comments in the
@@ -358,7 +370,8 @@ def _build_part4(cfg: dict) -> Field:
                                canon_spec)
         fd = fourier_encode(d, L_dir)
         h = jnp.concatenate([feat_can, ft], axis=-1)
-        rgb, sigma = D.instant_decoder_apply(params["decoder"], h, fd)
+        rgb, sigma = D.instant_decoder_apply(params["decoder"],
+                                             h.astype(cd), fd.astype(cd))
         return rgb, sigma, delta_x
 
     return Field(

@@ -163,61 +163,99 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _ROW_W), 1)
 
-    feats = []
-    for lvl in range(spec.n_levels):
-        res = spec.resolutions[lvl]
-        nb = spec.bricks_per_axis[lvl]
-        n_rows = spec.level_bricks[lvl]
-        offset = spec.level_offsets[lvl]
-
-        pos = x01 * np.float32(res - 1)                     # [N, 3]
-        p0 = jnp.clip(jnp.floor(pos), 0, res - 2).astype(jnp.int32)
-        frac = pos - p0.astype(jnp.float32)                 # [N, 3]
-
-        brick = p0 // _BRICK_C                              # [N, 3]
-        q = p0 - brick * _BRICK_C                           # local in [0,2]
-
-        if nb ** 3 <= n_rows:                               # dense level
-            b = brick.astype(jnp.uint32)
-            row = b[:, 0] + b[:, 1] * np.uint32(nb) \
-                + b[:, 2] * np.uint32(nb * nb)
-        else:                                               # hashed level
-            b = brick.astype(jnp.uint32)
-            row = ((b[:, 0] * np.uint32(_PRIMES[0]))
-                   ^ (b[:, 1] * np.uint32(_PRIMES[1]))
-                   ^ (b[:, 2] * np.uint32(_PRIMES[2]))) \
-                & np.uint32(n_rows - 1)
-        idx = row.astype(jnp.int32) + offset                # [N]
-
-        # Row-gather this level's bricks; the rows are consumed by the
-        # extraction below before the next level's gather, so peak memory
-        # stays at one [N, 128] buffer (a batched [N, L, 128] gather would
-        # materialize L x that).
-        rows = jnp.take(table, idx, axis=0,
-                        unique_indices=False,
-                        mode="clip").astype(jnp.float32)
-
-        # Factorized trilinear extraction in lane space. Row lane layout is
-        # ((i*4 + j)*4 + k)*2 + f, so lane>>5 = i, (lane>>3)&3 = j,
-        # (lane>>1)&3 = k. Each axis is contracted with a 2-tap mask
-        # ((plane == q)*(1-frac) + (plane == q+1)*frac) followed by a fold
-        # of the 4 strided segments — all static lane slices, no gathers.
+    def level_feats(rows, q, frac):
+        """Factorized trilinear extraction in lane space. Row lane layout is
+        ((i*4 + j)*4 + k)*2 + f, so lane>>5 = i, (lane>>3)&3 = j,
+        (lane>>1)&3 = k. Each axis is contracted with a 2-tap mask
+        ((plane == q)*(1-frac) + (plane == q+1)*frac) followed by a fold of
+        the 4 strided segments -- all static lane slices, no gathers."""
         fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
         qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
 
         plane_i = lane >> 5                                  # [1, 128]
         mx = ((plane_i == qx) * (1.0 - fx) + (plane_i == qx + 1) * fx)
         v = rows * mx                                        # [N, 128]
-        y = v[:, 0:32] + v[:, 32:64] + v[:, 64:96] + v[:, 96:128]  # [N, 32]
+        y = v[:, 0:32] + v[:, 32:64] + v[:, 64:96] + v[:, 96:128]
 
         plane_j = lane[:, 0:32] >> 3
         my = ((plane_j == qy) * (1.0 - fy) + (plane_j == qy + 1) * fy)
         v = y * my
-        y = v[:, 0:8] + v[:, 8:16] + v[:, 16:24] + v[:, 24:32]     # [N, 8]
+        y = v[:, 0:8] + v[:, 8:16] + v[:, 16:24] + v[:, 24:32]
 
         plane_k = lane[:, 0:8] >> 1
         mz = ((plane_k == qz) * (1.0 - fz) + (plane_k == qz + 1) * fz)
         v = y * mz
-        y = v[:, 0:2] + v[:, 2:4] + v[:, 4:6] + v[:, 6:8]          # [N, 2]
-        feats.append(y)
-    return jnp.concatenate(feats, axis=-1)                   # [N, L*F]
+        return v[:, 0:2] + v[:, 2:4] + v[:, 4:6] + v[:, 6:8]  # [N, 2]
+
+    def cell_coords(res):
+        """p0 (cell origin), brick coords, local q, frac -- res may be a
+        traced scalar (the hashed-level scan) or a Python int."""
+        resf = jnp.asarray(res, jnp.float32)
+        pos = x01 * (resf - 1.0)
+        p0 = jnp.clip(jnp.floor(pos), 0.0, resf - 2.0)
+        frac = pos - p0
+        p0 = p0.astype(jnp.int32)
+        brick = p0 // _BRICK_C
+        q = p0 - brick * _BRICK_C
+        return brick, q, frac
+
+    # Levels whose full brick grid fits the budget are unrolled (their
+    # shapes all differ); the hashed levels share one table shape and one
+    # hash formula, so they run as a lax.scan over (res, offset) -- this
+    # collapses the ~12 identical copies of the gather+extract graph into
+    # one, cutting XLA compile time several-fold. Dense-ness is monotone in
+    # level, so output ordering stays level-major.
+    dense_lvls = [l for l in range(spec.n_levels)
+                  if spec.bricks_per_axis[l] ** 3 <= spec.level_bricks[l]]
+    hashed_lvls = [l for l in range(spec.n_levels) if l not in dense_lvls]
+    assert dense_lvls == list(range(len(dense_lvls))), \
+        "dense levels must be a prefix"
+
+    feats = []
+    for lvl in dense_lvls:
+        res = spec.resolutions[lvl]
+        nb = spec.bricks_per_axis[lvl]
+        brick, q, frac = cell_coords(res)
+        b = brick.astype(jnp.uint32)
+        row = b[:, 0] + b[:, 1] * np.uint32(nb) \
+            + b[:, 2] * np.uint32(nb * nb)
+        idx = row.astype(jnp.int32) + spec.level_offsets[lvl]
+        rows = jnp.take(table, idx, axis=0, unique_indices=False,
+                        mode="clip").astype(jnp.float32)
+        feats.append(level_feats(rows, q, frac))
+
+    if hashed_lvls:
+        n_rows = spec.level_bricks[hashed_lvls[0]]
+        assert all(spec.level_bricks[l] == n_rows for l in hashed_lvls)
+        res_arr = jnp.asarray([spec.resolutions[l] for l in hashed_lvls],
+                              jnp.float32)
+        off_arr = jnp.asarray([spec.level_offsets[l] for l in hashed_lvls],
+                              jnp.int32)
+
+        @jax.checkpoint
+        def _level(ro):
+            res, offset = ro
+            brick, q, frac = cell_coords(res)
+            b = brick.astype(jnp.uint32)
+            row = ((b[:, 0] * np.uint32(_PRIMES[0]))
+                   ^ (b[:, 1] * np.uint32(_PRIMES[1]))
+                   ^ (b[:, 2] * np.uint32(_PRIMES[2]))) \
+                & np.uint32(n_rows - 1)
+            idx = row.astype(jnp.int32) + offset
+            rows = jnp.take(table, idx, axis=0, unique_indices=False,
+                            mode="clip").astype(jnp.float32)
+            # Emit [F, N] so the scan stack [K, F, N] keeps N minor
+            # (a [K, N, F] stack would be lane-padded 64x).
+            return level_feats(rows, q, frac).T
+
+        def body(_, ro):
+            # Remat: recomputing the row-gather in the backward pass is far
+            # cheaper than saving [K, N, 128] row residuals (5+ GB at 1M pts).
+            return None, _level(ro)
+
+        _, ys = jax.lax.scan(body, None, (res_arr, off_arr),
+                            unroll=4)                          # [K, F, N]
+        k = len(hashed_lvls)
+        feats.append(ys.reshape(k * spec.n_features_per_level, n).T)
+
+    return jnp.concatenate(feats, axis=-1)                     # [N, L*F]

@@ -33,6 +33,9 @@ def main():
         "n_levels": 16, "n_features_per_level": 2, "log2_hashmap_size": 19,
         "base_resolution": 16, "per_level_scale": 1.5, "scene_bound": 1.5,
         "L_embed_dir": 4, "hidden_dim": 64,
+        # bf16 decoder path (the production configuration; matches the
+        # reference's fp16 FullyFusedMLP precision class).
+        "compute_dtype": "bfloat16",
     }
     H = W = 800
     n_samples = 128

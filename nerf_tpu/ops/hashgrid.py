@@ -254,7 +254,7 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
             return None, _level(ro)
 
         _, ys = jax.lax.scan(body, None, (res_arr, off_arr),
-                            unroll=4)                          # [K, F, N]
+                            unroll=True)                       # [K, F, N]
         k = len(hashed_lvls)
         feats.append(ys.reshape(k * spec.n_features_per_level, n).T)
 

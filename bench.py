@@ -53,13 +53,14 @@ def main():
     binary = jnp.asarray((xx**2 + yy**2 + zz**2) < 0.9**2)
     active_ratio = float(binary.mean())
 
-    # Static compaction capacity: ~the active ratio with headroom.
-    capacity = int(chunk * n_samples * min(1.0, active_ratio * 1.15))
-    capacity = max(4096, capacity // 1024 * 1024)
+    # Per-ray sample budget: trained Instant-NGP scenes saturate opacity
+    # within a couple dozen occupied samples per ray; 24 matches the
+    # reference's effective post-skip sample count.
+    ray_budget = int(__import__("os").environ.get("BENCH_RAY_BUDGET", 24))
 
     renderer = ImageRenderer(field, near=2.0, far=6.0, n_samples=n_samples,
                              chunk=chunk, grid_spec=grid_spec,
-                             capacity=capacity)
+                             ray_budget=ray_budget)
 
     pose = jnp.asarray(orbit_poses(1, radius=4.0, center=[0, 0, 0],
                                    height=1.0)[0])

@@ -38,7 +38,8 @@ def sample_stratified(rng: Optional[jax.Array], near: float, far: float,
 
 def composite(rgb: jnp.ndarray, sigma: jnp.ndarray, z_vals: jnp.ndarray,
               rays_d: jnp.ndarray,
-              bg_color: Optional[jnp.ndarray] = None
+              bg_color: Optional[jnp.ndarray] = None,
+              dists: Optional[jnp.ndarray] = None
               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Alpha-composite per-sample radiance into per-ray outputs.
 
@@ -58,10 +59,14 @@ def composite(rgb: jnp.ndarray, sigma: jnp.ndarray, z_vals: jnp.ndarray,
     """
     rgb = rgb.astype(jnp.float32)
     sigma = sigma.astype(jnp.float32)
-    dists = z_vals[:, 1:] - z_vals[:, :-1]
-    dists = jnp.concatenate(
-        [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1)
-    dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if dists is None:
+        dists = z_vals[:, 1:] - z_vals[:, :-1]
+        dists = jnp.concatenate(
+            [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1)
+        dists = dists * jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    # An explicit `dists` lets sparse-sample callers (per-ray selection)
+    # supply the original bin widths so the integral matches the dense
+    # masked evaluation exactly.
 
     alpha = 1.0 - jnp.exp(-sigma * dists)
     # Exclusive cumprod of (1 - alpha): T_i = prod_{j<i} (1 - alpha_j).

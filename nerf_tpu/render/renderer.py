@@ -26,6 +26,28 @@ from ..ops.volume import composite, sample_stratified
 from .density_grid import DensityGridSpec, grid_active_mask
 
 
+def _select_k_per_ray(mask2d: jnp.ndarray, k: int):
+    """Indices of the first `k` active samples of each ray.
+
+    mask2d: [R, S] bool. Returns (idx [R, k] int32 ascending, valid [R, k]).
+    Pure lane-wise arithmetic (cumsum + k compare/reduce passes) — no
+    gathers, no sort. Rays with more than `k` active samples lose the tail
+    (bounded truncation, like the global-capacity path); rays with fewer
+    pad with invalid slots whose sigma is zeroed.
+    """
+    c = jnp.cumsum(mask2d.astype(jnp.int32), axis=1)       # [R, S]
+    n_act = c[:, -1]
+    cols = []
+    for j in range(k):
+        # Position of the (j+1)-th active sample = #samples with c < j+1.
+        cols.append(jnp.sum((c < j + 1).astype(jnp.int32), axis=1))
+    idx = jnp.stack(cols, axis=1)                           # [R, k]
+    s = mask2d.shape[1]
+    idx = jnp.minimum(idx, s - 1)
+    valid = jnp.arange(1, k + 1)[None, :] <= n_act[:, None]
+    return idx.astype(jnp.int32), valid
+
+
 def _compact_indices(mask: jnp.ndarray, capacity: int):
     """Counting-sort permutation putting active indices first.
 
@@ -61,6 +83,7 @@ def render_rays(
     bg_color: Optional[jnp.ndarray] = None,
     train: bool = False,
     capacity: Optional[int] = None,
+    ray_budget: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """Render a batch of rays through `field`.
 
@@ -78,6 +101,18 @@ def render_rays(
         bg_color = jnp.ones((3,), jnp.float32)
 
     s_rng, m_rng = (jax.random.split(rng) if rng is not None else (None, None))
+
+    if ray_budget is not None and grid_binary is not None:
+        # Per-ray sparse marching: select the first `ray_budget` occupied
+        # samples of each ray and evaluate only those. With the original
+        # bin widths as dists, the compositing integral equals the dense
+        # masked evaluation exactly (skipped samples have alpha = 0);
+        # per-ray truncation replaces the global-capacity truncation.
+        return _render_rays_budget(
+            field, params, rays_o, rays_d, near=near, far=far,
+            n_samples=n_samples, perturb=perturb, s_rng=s_rng, m_rng=m_rng,
+            times=times, grid_binary=grid_binary, grid_spec=grid_spec,
+            bg_color=bg_color, train=train, k=ray_budget)
     z_vals = sample_stratified(s_rng, near, far, n_samples, n_rays, perturb)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
@@ -142,6 +177,72 @@ def render_rays(
     return rgb_map, depth_map, acc_map, extras
 
 
+def _render_rays_budget(field, params, rays_o, rays_d, *, near, far,
+                        n_samples, perturb, s_rng, m_rng, times,
+                        grid_binary, grid_spec, bg_color, train, k):
+    """Per-ray budgeted rendering (see render_rays docstring)."""
+    n_rays = rays_o.shape[0]
+    dynamic = field.needs_time
+    dz = (far - near) / (n_samples - 1)
+
+    # Occupancy of every nominal (unperturbed) sample position.
+    t_lin = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+    z_grid = near * (1.0 - t_lin) + far * t_lin                  # [S]
+    pts_all = rays_o[:, None, :] + rays_d[:, None, :] * z_grid[None, :, None]
+    mask2d = grid_active_mask(
+        grid_binary, pts_all.reshape(-1, 3), grid_spec
+    ).reshape(n_rays, n_samples)
+
+    idx, valid = _select_k_per_ray(mask2d, k)                    # [R, k]
+    idx_f = idx.astype(jnp.float32)
+    z_sel = near + idx_f * dz                                    # [R, k]
+    if perturb:
+        # Jitter within the sample's bin (the stratified estimator on the
+        # selected bins; the dense path jitters between bin midpoints).
+        u = jax.random.uniform(s_rng, z_sel.shape, jnp.float32)
+        z_sel = jnp.clip(z_sel + (u - 0.5) * dz, near, far)
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
+    view_dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    view_dirs = jnp.broadcast_to(view_dirs[:, None, :], (n_rays, k, 3))
+
+    n_pts = n_rays * k
+    pts_flat = pts.reshape(n_pts, 3)
+    dirs_flat = view_dirs.reshape(n_pts, 3)
+    times_flat = None
+    if dynamic:
+        if times is None:
+            times = jnp.zeros((n_rays, 1), jnp.float32)
+        times_flat = jnp.broadcast_to(
+            times[:, None, :], (n_rays, k, 1)).reshape(n_pts, 1)
+
+    if dynamic:
+        rgb, sigma, delta = field.apply(params, pts_flat, dirs_flat,
+                                        times_flat, train=train, rng=m_rng)
+    else:
+        rgb, sigma = field.apply(params, pts_flat, dirs_flat,
+                                 train=train, rng=m_rng)
+        delta = None
+
+    rgb = rgb.astype(jnp.float32).reshape(n_rays, k, 3)
+    sigma = sigma.astype(jnp.float32).reshape(n_rays, k)
+    sigma = sigma * valid.astype(jnp.float32)
+
+    # Original bin widths as dists; the reference's 1e10 catch-all applies
+    # to the final nominal sample (reference: src/renderer.py:213-215).
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    dists = jnp.where(idx == n_samples - 1, 1e10, dz) * norm
+
+    rgb_map, depth_map, acc_map, weights = composite(
+        rgb, sigma, z_sel, rays_d, bg_color=bg_color, dists=dists)
+
+    extras = {}
+    if dynamic and delta is not None:
+        delta = delta.astype(jnp.float32).reshape(n_rays, k, 3)
+        extras["mean_delta_x"] = jnp.sum(weights[..., None] * delta, axis=1)
+    return rgb_map, depth_map, acc_map, extras
+
+
 def render_image(
     field,
     params,
@@ -157,6 +258,7 @@ def render_image(
     grid_spec=None,
     bg_color=None,
     capacity: Optional[int] = None,
+    ray_budget: Optional[int] = None,
 ) -> jnp.ndarray:
     """Render all given rays without perturbation, chunked via `lax.map`.
 
@@ -185,7 +287,8 @@ def render_image(
             field, params, o, d,
             near=near, far=far, n_samples=n_samples, perturb=False,
             times=times, grid_binary=grid_binary, grid_spec=grid_spec,
-            bg_color=bg_color, train=False, capacity=capacity)
+            bg_color=bg_color, train=False, capacity=capacity,
+            ray_budget=ray_budget)
         return rgb_map
 
     rgb = jax.lax.map(one, (ro, rd)).reshape(n_chunks * chunk, 3)

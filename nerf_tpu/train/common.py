@@ -33,7 +33,8 @@ class ImageRenderer:
     """
 
     def __init__(self, field, *, near: float, far: float, n_samples: int,
-                 chunk: int, grid_spec=None, capacity: Optional[int] = None):
+                 chunk: int, grid_spec=None, capacity: Optional[int] = None,
+                 ray_budget: Optional[int] = None):
         self.field = field
         self.grid_spec = grid_spec
 
@@ -43,7 +44,8 @@ class ImageRenderer:
                 field, params, rays_o, rays_d,
                 near=near, far=far, n_samples=n_samples, chunk=chunk,
                 time_scalar=time_scalar, grid_binary=grid_binary,
-                grid_spec=grid_spec, bg_color=bg, capacity=capacity)
+                grid_spec=grid_spec, bg_color=bg, capacity=capacity,
+                ray_budget=ray_budget)
 
         self._render = _render
 

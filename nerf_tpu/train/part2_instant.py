@@ -286,12 +286,16 @@ def run_part2_instant(cfg: dict, args) -> None:
     # ---------------------------------------------------------------- eval
     binary = grid_state["binary"] if grid_state is not None else None
     eval_capacity = None
-    if binary is not None and active_ratio < switch_ratio:
+    ray_budget = cfg.get("render_ray_budget")
+    if binary is not None and ray_budget is None \
+            and active_ratio < switch_ratio:
         eval_capacity = max(4096, int(chunk * render_n_samples
                                       * cap_frac) // 1024 * 1024)
     renderer = ImageRenderer(field, near=near, far=far,
                              n_samples=render_n_samples, chunk=chunk,
-                             grid_spec=grid_spec, capacity=eval_capacity)
+                             grid_spec=grid_spec, capacity=eval_capacity,
+                             ray_budget=ray_budget if binary is not None
+                             else None)
 
     if args.eval_only:
         if args.render_n == -1:

@@ -361,12 +361,16 @@ def _part3_eval(cfg, args, field, params, grid_state, grid_spec,
     (reference: run.py:1346-1559, 2105-2331)."""
     binary = grid_state["binary"] if grid_state is not None else None
     eval_capacity = None
-    if binary is not None and active_ratio < switch_ratio:
+    ray_budget = cfg.get("render_ray_budget")
+    if binary is not None and ray_budget is None \
+            and active_ratio < switch_ratio:
         eval_capacity = max(4096, int(chunk * render_n_samples
                                       * cap_frac) // 1024 * 1024)
     renderer = ImageRenderer(field, near=near, far=far,
                              n_samples=render_n_samples, chunk=chunk,
-                             grid_spec=grid_spec, capacity=eval_capacity)
+                             grid_spec=grid_spec, capacity=eval_capacity,
+                             ray_budget=ray_budget if binary is not None
+                             else None)
     picture_dir = os.path.join(log_dir, "picture")
     os.makedirs(picture_dir, exist_ok=True)
 

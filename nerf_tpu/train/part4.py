@@ -390,12 +390,16 @@ def run_part4(cfg: dict, args) -> None:
     if args.eval_only:
         # Test-set PSNR pass (reference: run.py:2121-2160).
         eval_capacity = None
-        if binary is not None and active_ratio < switch_ratio:
+        ray_budget = cfg.get("render_ray_budget")
+        if binary is not None and ray_budget is None \
+                and active_ratio < switch_ratio:
             eval_capacity = max(4096, int(chunk * render_n_samples
                                           * cap_frac) // 1024 * 1024)
         renderer = ImageRenderer(field, near=near, far=far,
                                  n_samples=render_n_samples, chunk=chunk,
-                                 grid_spec=grid_spec, capacity=eval_capacity)
+                                 grid_spec=grid_spec, capacity=eval_capacity,
+                                 ray_budget=ray_budget if binary is not None
+                                 else None)
         avg_psnr, psnrs = evaluate_split(field, params, test_set, renderer,
                                          grid_binary=binary,
                                          bg_color=fixed_bg)

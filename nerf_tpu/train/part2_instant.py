@@ -160,7 +160,7 @@ def run_part2_instant(cfg: dict, args) -> None:
         data = train_set.ray_data
         H, W, focal = train_set.H, train_set.W, train_set.focal
 
-        def make_step(capacity):
+        def make_step(capacity, ray_budget=None):
             @partial(jax.jit, donate_argnums=(0, 1),
                      static_argnames=("use_grid",))
             def train_step(params, opt_state, rng, step, grid_binary,
@@ -183,7 +183,8 @@ def run_part2_instant(cfg: dict, args) -> None:
                         perturb=True, bg_color=bg, train=True,
                         grid_binary=grid_binary if use_grid else None,
                         grid_spec=grid_spec,
-                        capacity=capacity if use_grid else None)
+                        capacity=capacity if use_grid else None,
+                        ray_budget=ray_budget if use_grid else None)
                     loss_rgb = jnp.mean((pred - target) ** 2)
                     loss_tv = (tv_loss_flat(p["representation"])
                                * tv_loss_weight if use_tv_loss else 0.0)
@@ -197,7 +198,9 @@ def run_part2_instant(cfg: dict, args) -> None:
             return train_step
 
         step_mask = make_step(None)          # dense / warmup regime
-        step_compact = make_step(train_capacity)  # sparse regime
+        train_ray_budget = cfg.get("train_ray_budget")
+        step_compact = (make_step(None, ray_budget=train_ray_budget)
+                        if train_ray_budget else make_step(train_capacity))
 
         print(f">>> target: {train_iters} steps | lr {learning_rate} "
               f"(cosine -> {eta_min}) | batch {batch_size} x {n_samples}")

@@ -159,7 +159,7 @@ def run_part4(cfg: dict, args) -> None:
         H, W, focal = train_set.H, train_set.W, train_set.focal
         via_grid = field.deform_delta_via_grid
 
-        def make_step(capacity):
+        def make_step(capacity, ray_budget=None):
             @partial(jax.jit, donate_argnums=(0, 1),
                      static_argnames=("use_grid",))
             def train_step(params, opt_state, rng, step, grid_binary,
@@ -181,7 +181,8 @@ def run_part4(cfg: dict, args) -> None:
                         perturb=True, times=times, bg_color=bg, train=True,
                         grid_binary=grid_binary if use_grid else None,
                         grid_spec=grid_spec,
-                        capacity=capacity if use_grid else None)
+                        capacity=capacity if use_grid else None,
+                        ray_budget=ray_budget if use_grid else None)
                     loss_rgb = jnp.mean((pred - target) ** 2)
                     loss_reg = jnp.mean(extras["mean_delta_x"] ** 2) \
                         * deformation_reg_weight
@@ -275,7 +276,9 @@ def run_part4(cfg: dict, args) -> None:
             return train_step
 
         step_mask = make_step(None)
-        step_compact = make_step(train_capacity)
+        train_ray_budget = cfg.get("train_ray_budget")
+        step_compact = (make_step(None, ray_budget=train_ray_budget)
+                        if train_ray_budget else make_step(train_capacity))
 
         print(">>> Start Training Part 4 (Dual-Hash Dynamic NeRF)...")
         print(f">>> tensorboard --logdir="

@@ -120,3 +120,16 @@ def test_distinct_points_distinct_features(rng_key):
     out = hash_encode(table, x, spec)
     # features should not be degenerate across points
     assert float(jnp.std(out)) > 1e-3
+
+
+def test_max_level_lod(rng_key):
+    """max_level computes a prefix of levels and zero-pads the rest."""
+    spec = small_spec()
+    table = jax.random.normal(rng_key, (spec.n_bricks, 128))
+    x = jax.random.uniform(rng_key, (9, 3), minval=-1.0, maxval=1.0)
+    full = hash_encode(table, x, spec)
+    lod = hash_encode(table, x, spec, max_level=2)
+    f = spec.n_features_per_level
+    np.testing.assert_allclose(np.asarray(lod[:, :2 * f]),
+                               np.asarray(full[:, :2 * f]), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(lod[:, 2 * f:]), 0.0)

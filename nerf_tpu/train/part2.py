@@ -79,23 +79,39 @@ def run_part2(cfg: dict, args) -> None:
         data = train_set.ray_data
         H, W, focal = train_set.H, train_set.W, train_set.focal
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(params, opt_state, rng):
-            r_sample, r_render = jax.random.split(rng)
-            rays_o, rays_d, rgba, _ = sample_random_rays(
-                data, r_sample, batch_size, H, W, focal, scene_scale)
-            target = composite_target(rgba, bg)
+        # Multi-chip data parallelism over the ray axis: set
+        # `mesh_devices: N` in the config to shard the batch across a
+        # device mesh (replicated params, grads psum'd over ICI). See
+        # nerf_tpu/parallel/mesh.py.
+        mesh_devices = cfg.get("mesh_devices", 1)
+        if mesh_devices > 1:
+            from ..parallel.mesh import make_mesh, make_parallel_train_step
+            mesh = make_mesh(mesh_devices)
+            print(f">>> data-parallel over {mesh.shape} mesh")
+            train_step = make_parallel_train_step(
+                field, tx, data, mesh, batch_size=batch_size,
+                H=H, W=W, focal=focal, scene_scale=scene_scale,
+                near=near, far=far, n_samples=n_samples,
+                white_bkgd=white_bkgd)
+        else:
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def train_step(params, opt_state, rng):
+                r_sample, r_render = jax.random.split(rng)
+                rays_o, rays_d, rgba, _ = sample_random_rays(
+                    data, r_sample, batch_size, H, W, focal, scene_scale)
+                target = composite_target(rgba, bg)
 
-            def loss_fn(p):
-                pred, _, _, _ = render_rays(
-                    field, p, rays_o, rays_d, rng=r_render,
-                    near=near, far=far, n_samples=n_samples, perturb=True,
-                    bg_color=bg, train=True)
-                return jnp.mean((pred - target) ** 2)
+                def loss_fn(p):
+                    pred, _, _, _ = render_rays(
+                        field, p, rays_o, rays_d, rng=r_render,
+                        near=near, far=far, n_samples=n_samples,
+                        perturb=True, bg_color=bg, train=True)
+                    return jnp.mean((pred - target) ** 2)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), opt_state, loss
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state,
+                        loss)
 
         print(">>> Start Training Part 2 (NeRF)...")
         rng = key

@@ -198,8 +198,18 @@ int nerf_png_dims(const char* path, int* w, int* h) {
   }
   std::fclose(f);
   if (len < 33) return 1;
-  *w = int(be32(buf.data() + 16));
-  *h = int(be32(buf.data() + 20));
+  // Validate the 8-byte PNG signature and that the first chunk is IHDR
+  // before trusting the fixed-offset width/height fields: garbage dims from
+  // a corrupt file would otherwise propagate into a huge host allocation.
+  static const uint8_t kSig[8] = {0x89, 'P', 'N', 'G', '\r', '\n', 0x1A,
+                                  '\n'};
+  if (std::memcmp(buf.data(), kSig, 8) != 0) return 1;
+  if (std::memcmp(buf.data() + 12, "IHDR", 4) != 0) return 1;
+  uint32_t w32 = be32(buf.data() + 16), h32 = be32(buf.data() + 20);
+  // PNG spec caps dims at 2^31-1; anything above 1<<24 is not a real image.
+  if (w32 == 0 || h32 == 0 || w32 > (1u << 24) || h32 > (1u << 24)) return 1;
+  *w = int(w32);
+  *h = int(h32);
   return 0;
 }
 

@@ -71,7 +71,11 @@ def load_image_rgba(path: str, downscale: int = 1) -> np.ndarray:
         w = ctypes.c_int()
         h = ctypes.c_int()
         p = path.encode()
-        if lib.nerf_png_dims(p, ctypes.byref(w), ctypes.byref(h)) == 0:
+        # Belt-and-braces dim bound (the C side also validates the PNG
+        # signature/IHDR): never allocate more than a 16k x 16k RGBA image
+        # from header bytes; fall through to PIL on anything suspicious.
+        if (lib.nerf_png_dims(p, ctypes.byref(w), ctypes.byref(h)) == 0
+                and 0 < w.value <= 16384 and 0 < h.value <= 16384):
             ow, oh = w.value // max(downscale, 1), h.value // max(downscale, 1)
             out = np.empty((oh, ow, 4), np.float32)
             rc = lib.nerf_load_png_rgba_f32(

@@ -66,8 +66,8 @@ def make_parallel_train_step(
     """
     n_dev = mesh.shape[axis]
     if batch_size % n_dev:
-        raise ValueError(f"batch_size {batch_size} must divide the mesh "
-                         f"size {n_dev}")
+        raise ValueError(f"batch_size {batch_size} must be divisible by "
+                         f"the mesh size {n_dev}")
     local_batch = batch_size // n_dev
     bg = (jnp.ones((3,), jnp.float32) if white_bkgd
           else jnp.zeros((3,), jnp.float32))

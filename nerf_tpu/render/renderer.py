@@ -55,6 +55,10 @@ def _compact_indices(mask: jnp.ndarray, capacity: int):
     dynamic shapes — the TPU-idiomatic replacement for boolean indexing.
     """
     n = mask.shape[0]
+    # Trainer capacity floors (max(4096, ...)) can exceed n on tiny batch
+    # configs; order[:capacity] would then silently truncate to n while
+    # valid kept length capacity, breaking broadcasting at trace time.
+    capacity = min(capacity, n)
     cm_act = jnp.cumsum(mask.astype(jnp.int32))
     n_active = cm_act[-1]
     cm_inact = jnp.cumsum((~mask).astype(jnp.int32))

@@ -31,20 +31,51 @@ def cosine_lr(lr: float, train_iters: int, eta_min: float) -> Callable:
     return schedule
 
 
+def _path_keys(path):
+    return tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
+
+
 def scale_by_path(mult_fn: Callable) -> optax.GradientTransformation:
     """Scale each update leaf by `mult_fn(path_keys)` where `path_keys` is the
     tuple of string keys addressing the leaf (grouped learning rates)."""
-
-    def _keys(path):
-        return tuple(getattr(p, "key", getattr(p, "idx", None)) for p in path)
 
     def init_fn(params):
         return optax.EmptyState()
 
     def update_fn(updates, state, params=None):
         out = jax.tree_util.tree_map_with_path(
-            lambda path, u: u * mult_fn(_keys(path)), updates)
+            lambda path, u: u * mult_fn(_path_keys(path)), updates)
         return out, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def scale_by_grouped_cosine(
+    lr: float, train_iters: int, eta_min: float, mult_fn: Callable,
+) -> optax.GradientTransformation:
+    """Per-group torch CosineAnnealingLR (negated for gradient descent).
+
+    Each group's base LR is `mult_fn(path) * lr` and every group anneals to
+    the SHARED eta_min floor — matching torch, where param groups carry their
+    own base lr but CosineAnnealingLR applies one eta_min to all of them
+    (reference: run.py:1684-1738 sets the grouped lrs, run.py:1740-1741 wraps
+    them in one scheduler). Applying a flat multiplier after the schedule
+    would instead floor group g at mult_g * eta_min.
+    """
+
+    def init_fn(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params=None):
+        frac = jnp.minimum(state.count / train_iters, 1.0)
+        cos_term = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+
+        def _scale(path, u):
+            base = mult_fn(_path_keys(path)) * lr
+            return u * -(eta_min + (base - eta_min) * cos_term)
+
+        out = jax.tree_util.tree_map_with_path(_scale, updates)
+        return out, optax.ScaleByScheduleState(count=state.count + 1)
 
     return optax.GradientTransformation(init_fn, update_fn)
 
@@ -90,14 +121,16 @@ def build_optimizer(
     if kind == "adamw" and weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
 
-    if eta_min is not None:
+    if lr_mult_fn is not None and eta_min is not None:
+        parts.append(scale_by_grouped_cosine(lr, train_iters, eta_min,
+                                             lr_mult_fn))
+    elif eta_min is not None:
         sched = cosine_lr(lr, train_iters, eta_min)
         parts.append(optax.scale_by_schedule(lambda c: -sched(c)))
     else:
         parts.append(optax.scale(-lr))
-
-    if lr_mult_fn is not None:
-        parts.append(scale_by_path(lr_mult_fn))
+        if lr_mult_fn is not None:
+            parts.append(scale_by_path(lr_mult_fn))
     return optax.chain(*parts)
 
 

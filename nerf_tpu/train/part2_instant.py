@@ -58,6 +58,9 @@ def tv_loss_flat(table: jnp.ndarray) -> jnp.ndarray:
 
 
 def run_part2_instant(cfg: dict, args) -> None:
+    # Host-side RNG for val-split / render-image choices: seeded so the
+    # val split and best-checkpoint selection reproduce across reruns.
+    py_rng = random.Random(cfg.get("seed", 0))
     if not args.data_dir:
         raise ValueError("Part 2 Instant requires --data_dir.")
 
@@ -101,7 +104,7 @@ def run_part2_instant(cfg: dict, args) -> None:
     val_indices = None
     if not args.eval_only:
         n_test = len(test_set)
-        val_indices = random.sample(range(n_test), int(n_test * 0.3))
+        val_indices = py_rng.sample(range(n_test), int(n_test * 0.3))
         print(f">>> split: train {len(train_set)} | val {len(val_indices)} "
               f"| test {n_test}")
 
@@ -315,7 +318,7 @@ def run_part2_instant(cfg: dict, args) -> None:
             make_video(picture_dir, video_path)
         else:
             n_render = min(args.render_n, len(test_set))
-            indices = random.sample(range(len(test_set)), n_render)
+            indices = py_rng.sample(range(len(test_set)), n_render)
             avg_psnr, _ = evaluate_split(
                 field, params, test_set, renderer, grid_binary=binary,
                 bg_color=fixed_bg, indices=indices, save_dir=render_dir,

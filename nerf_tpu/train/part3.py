@@ -46,6 +46,9 @@ from .part2_instant import tv_loss_flat
 
 
 def run_part3(cfg: dict, args) -> None:
+    # Host-side RNG for val-split / render-image choices: seeded so the
+    # val split and best-checkpoint selection reproduce across reruns.
+    py_rng = random.Random(cfg.get("seed", 0))
     if not args.data_dir:
         raise ValueError("Part 3 requires --data_dir pointing to a dynamic "
                          "NeRF dataset root.")
@@ -311,7 +314,7 @@ def run_part3(cfg: dict, args) -> None:
 
             if step % val_every == 0:
                 n_save = min(5, len(val_set))
-                save_idx = set(random.sample(range(len(val_set)), n_save))
+                save_idx = set(py_rng.sample(range(len(val_set)), n_save))
                 step_val_dir = os.path.join(val_render_dir,
                                             f"step_{step:06d}")
                 os.makedirs(step_val_dir, exist_ok=True)

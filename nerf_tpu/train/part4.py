@@ -50,6 +50,9 @@ def _lr_mult(path_keys) -> float:
 
 
 def run_part4(cfg: dict, args) -> None:
+    # Host-side RNG for val-split / render-image choices: seeded so the
+    # val split and best-checkpoint selection reproduce across reruns.
+    py_rng = random.Random(cfg.get("seed", 0))
     if not args.data_dir:
         raise ValueError("Part 4 requires --data_dir pointing to a dynamic "
                          "NeRF dataset root.")
@@ -350,7 +353,7 @@ def run_part4(cfg: dict, args) -> None:
 
             if step % val_every == 0:
                 n_save = min(5, len(val_set))
-                save_idx = set(random.sample(range(len(val_set)), n_save))
+                save_idx = set(py_rng.sample(range(len(val_set)), n_save))
                 step_val_dir = os.path.join(val_render_dir,
                                             f"step_{step:06d}")
                 os.makedirs(step_val_dir, exist_ok=True)

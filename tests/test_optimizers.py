@@ -69,3 +69,26 @@ def test_build_optimizer_grouped_lr_moves_params_proportionally():
     # Adam normalizes the first step to ~lr; the grid group moves 2x.
     ratio = float(updates["canonical_repr"][0] / updates["decoder"]["w"][0])
     np.testing.assert_allclose(ratio, 2.0, rtol=1e-3)
+
+
+def test_grouped_cosine_anneals_every_group_to_shared_eta_min():
+    # torch CosineAnnealingLR anneals each param group from its own base lr
+    # (mult * lr) to the SHARED eta_min floor (reference: run.py:1740-1741);
+    # applying the multiplier after the schedule would floor the x2 group at
+    # 2 * eta_min instead.
+    lr0, eta_min, T = 0.01, 1e-4, 10
+    params = {"canonical_repr": jnp.ones((4,)),
+              "decoder": {"w": jnp.ones((4,))}}
+    tx = build_optimizer("adamw", lr0, T, weight_decay=0.0,
+                         eta_min=eta_min, lr_mult_fn=_lr_mult)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates = None
+    for _ in range(T + 1):
+        updates, state = tx.update(grads, state, params)
+    # Adam normalizes constant grads to unit scale, so at step >= T the
+    # update magnitude is the terminal LR: eta_min for EVERY group.
+    np.testing.assert_allclose(float(-updates["canonical_repr"][0]),
+                               eta_min, rtol=1e-3)
+    np.testing.assert_allclose(float(-updates["decoder"]["w"][0]),
+                               eta_min, rtol=1e-3)

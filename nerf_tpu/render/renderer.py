@@ -88,6 +88,7 @@ def render_rays(
     train: bool = False,
     capacity: Optional[int] = None,
     ray_budget: Optional[int] = None,
+    max_level: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """Render a batch of rays through `field`.
 
@@ -116,7 +117,8 @@ def render_rays(
             field, params, rays_o, rays_d, near=near, far=far,
             n_samples=n_samples, perturb=perturb, s_rng=s_rng, m_rng=m_rng,
             times=times, grid_binary=grid_binary, grid_spec=grid_spec,
-            bg_color=bg_color, train=train, k=ray_budget)
+            bg_color=bg_color, train=train, k=ray_budget,
+            max_level=max_level)
     z_vals = sample_stratified(s_rng, near, far, n_samples, n_rays, perturb)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
@@ -141,8 +143,10 @@ def render_rays(
 
     def eval_field(p, dd, tt):
         if dynamic:
-            return field.apply(params, p, dd, tt, train=train, rng=m_rng)
-        rgb, sigma = field.apply(params, p, dd, train=train, rng=m_rng)
+            return field.apply(params, p, dd, tt, train=train, rng=m_rng,
+                               max_level=max_level)
+        rgb, sigma = field.apply(params, p, dd, train=train, rng=m_rng,
+                                 max_level=max_level)
         return rgb, sigma, None
 
     if mask is not None and capacity is not None:
@@ -183,7 +187,8 @@ def render_rays(
 
 def _render_rays_budget(field, params, rays_o, rays_d, *, near, far,
                         n_samples, perturb, s_rng, m_rng, times,
-                        grid_binary, grid_spec, bg_color, train, k):
+                        grid_binary, grid_spec, bg_color, train, k,
+                        max_level=None):
     """Per-ray budgeted rendering (see render_rays docstring)."""
     n_rays = rays_o.shape[0]
     dynamic = field.needs_time
@@ -222,10 +227,12 @@ def _render_rays_budget(field, params, rays_o, rays_d, *, near, far,
 
     if dynamic:
         rgb, sigma, delta = field.apply(params, pts_flat, dirs_flat,
-                                        times_flat, train=train, rng=m_rng)
+                                        times_flat, train=train, rng=m_rng,
+                                        max_level=max_level)
     else:
         rgb, sigma = field.apply(params, pts_flat, dirs_flat,
-                                 train=train, rng=m_rng)
+                                 train=train, rng=m_rng,
+                                 max_level=max_level)
         delta = None
 
     rgb = rgb.astype(jnp.float32).reshape(n_rays, k, 3)
@@ -239,6 +246,107 @@ def _render_rays_budget(field, params, rays_o, rays_d, *, near, far,
 
     rgb_map, depth_map, acc_map, weights = composite(
         rgb, sigma, z_sel, rays_d, bg_color=bg_color, dists=dists)
+
+    extras = {}
+    if dynamic and delta is not None:
+        delta = delta.astype(jnp.float32).reshape(n_rays, k, 3)
+        extras["mean_delta_x"] = jnp.sum(weights[..., None] * delta, axis=1)
+    return rgb_map, depth_map, acc_map, extras
+
+
+def render_rays_interval(
+    field,
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    *,
+    t0: jnp.ndarray,
+    t1: jnp.ndarray,
+    n_samples: int,
+    far: Optional[float] = None,
+    perturb: bool = False,
+    rng: Optional[jax.Array] = None,
+    times: Optional[jnp.ndarray] = None,
+    grid_binary: Optional[jnp.ndarray] = None,
+    grid_spec: Optional[DensityGridSpec] = None,
+    bg_color: Optional[jnp.ndarray] = None,
+    train: bool = False,
+    max_level: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
+    """Render rays with the sample budget distributed inside per-ray
+    occupied intervals (see render/intervals.py).
+
+    This is the eval-path replacement for dense sampling + occupancy
+    masking: with conservative [t0, t1] no occupied voxel along the ray is
+    missed, samples are never placed in the empty margin, and the effective
+    sample spacing (t1-t0)/n adapts per ray. When `grid_binary` is given,
+    sigma is additionally zeroed at samples in unoccupied voxels — the same
+    pruning semantics as the dense masked path (reference:
+    src/renderer.py:303-343). Rays with empty intervals (t1 <= t0)
+    composite to pure background.
+
+    Final-sample semantics: the dense path gives its last sample a 1e10
+    catch-all distance (reference: src/renderer.py:213-215). Here that
+    applies only when the occupied interval is clipped at the far plane
+    (`t1 >= far`): if t1 < far, the conservative grid guarantees free space
+    beyond it, so the dense path's catch-all sample would have been masked
+    to sigma 0 anyway and the ray escapes to the background.
+    """
+    n_rays = rays_o.shape[0]
+    k = n_samples
+    dynamic = field.needs_time
+    if bg_color is None:
+        bg_color = jnp.ones((3,), jnp.float32)
+
+    valid_ray = (t1 > t0)
+    span = jnp.maximum(t1 - t0, 1e-6)
+    dz = span / k                                            # [R]
+    frac = (jnp.arange(k, dtype=jnp.float32) + 0.5) / k      # bin midpoints
+    z = t0[:, None] + span[:, None] * frac[None, :]          # [R, k]
+    if perturb:
+        u = jax.random.uniform(rng, z.shape, jnp.float32)
+        z = z + (u - 0.5) * dz[:, None]
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    view_dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    view_dirs = jnp.broadcast_to(view_dirs[:, None, :], (n_rays, k, 3))
+
+    n_pts = n_rays * k
+    pts_flat = pts.reshape(n_pts, 3)
+    dirs_flat = view_dirs.reshape(n_pts, 3)
+    times_flat = None
+    if dynamic:
+        if times is None:
+            times = jnp.zeros((n_rays, 1), jnp.float32)
+        times_flat = jnp.broadcast_to(
+            times[:, None, :], (n_rays, k, 1)).reshape(n_pts, 1)
+
+    if dynamic:
+        rgb, sigma, delta = field.apply(params, pts_flat, dirs_flat,
+                                        times_flat, train=train, rng=rng,
+                                        max_level=max_level)
+    else:
+        rgb, sigma = field.apply(params, pts_flat, dirs_flat,
+                                 train=train, rng=rng, max_level=max_level)
+        delta = None
+
+    rgb = rgb.astype(jnp.float32).reshape(n_rays, k, 3)
+    sigma = sigma.astype(jnp.float32).reshape(n_rays, k)
+    sigma = sigma * valid_ray[:, None].astype(jnp.float32)
+    if grid_binary is not None:
+        fine = grid_active_mask(grid_binary, pts_flat, grid_spec)
+        sigma = sigma * fine.reshape(n_rays, k).astype(jnp.float32)
+
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    dists = jnp.broadcast_to(dz[:, None], (n_rays, k))
+    if far is not None:
+        clipped = (t1 >= far - 1e-6)
+        last = jnp.where(clipped, 1e10, dists[:, -1])
+        dists = jnp.concatenate([dists[:, :-1], last[:, None]], axis=1)
+    dists = dists * norm
+
+    rgb_map, depth_map, acc_map, weights = composite(
+        rgb, sigma, z, rays_d, bg_color=bg_color, dists=dists)
 
     extras = {}
     if dynamic and delta is not None:
@@ -263,12 +371,18 @@ def render_image(
     bg_color=None,
     capacity: Optional[int] = None,
     ray_budget: Optional[int] = None,
+    t0: Optional[jnp.ndarray] = None,
+    t1: Optional[jnp.ndarray] = None,
+    max_level: Optional[int] = None,
 ) -> jnp.ndarray:
     """Render all given rays without perturbation, chunked via `lax.map`.
 
     Args:
       rays_o/rays_d: [N, 3] flattened image rays.
       chunk: rays per chunk (static).
+      t0/t1: optional [N] per-ray occupied intervals (from
+        render.intervals.image_intervals) — switches to interval sampling.
+      max_level: render-time LOD limit on hash-encoded fields.
 
     Returns rgb [N, 3] fp32. Callers reshape to [H, W, 3].
     """
@@ -285,6 +399,24 @@ def render_image(
         t = 0.0 if time_scalar is None else time_scalar
         times = jnp.full((chunk, 1), t, jnp.float32)
 
+    if t0 is not None:
+        # Padded rays get empty intervals -> composited as pure background.
+        t0p = jnp.pad(t0, (0, pad)).reshape(n_chunks, chunk)
+        t1p = jnp.pad(t1, (0, pad)).reshape(n_chunks, chunk)
+
+        def one_iv(args):
+            o, d, a, b = args
+            rgb_map, _, _, _ = render_rays_interval(
+                field, params, o, d, t0=a, t1=b, n_samples=n_samples,
+                far=far, perturb=False, times=times,
+                grid_binary=grid_binary,
+                grid_spec=grid_spec, bg_color=bg_color, train=False,
+                max_level=max_level)
+            return rgb_map
+
+        rgb = jax.lax.map(one_iv, (ro, rd, t0p, t1p))
+        return rgb.reshape(n_chunks * chunk, 3)[:n]
+
     def one(chunk_rays):
         o, d = chunk_rays
         rgb_map, _, _, _ = render_rays(
@@ -292,7 +424,7 @@ def render_image(
             near=near, far=far, n_samples=n_samples, perturb=False,
             times=times, grid_binary=grid_binary, grid_spec=grid_spec,
             bg_color=bg_color, train=False, capacity=capacity,
-            ray_budget=ray_budget)
+            ray_budget=ray_budget, max_level=max_level)
         return rgb_map
 
     rgb = jax.lax.map(one, (ro, rd)).reshape(n_chunks * chunk, 3)

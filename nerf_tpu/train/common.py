@@ -30,13 +30,26 @@ class ImageRenderer:
 
     One compilation per (shape, grid-presence) signature; time is threaded as
     a traced scalar so per-frame renders reuse the compiled program.
+
+    `sampling="interval"` (requires a grid) switches to the fast eval path:
+    per-ray occupied intervals from a block-coarse probe of the dilated
+    occupancy grid, with the sample budget distributed inside the interval
+    (render/intervals.py). `max_level` limits hash-encode levels at render
+    time (LOD).
     """
 
     def __init__(self, field, *, near: float, far: float, n_samples: int,
                  chunk: int, grid_spec=None, capacity: Optional[int] = None,
-                 ray_budget: Optional[int] = None):
+                 ray_budget: Optional[int] = None,
+                 sampling: str = "dense",
+                 interval_block: int = 4, interval_probes: int = 128,
+                 interval_dilate: int = 1,
+                 max_level: Optional[int] = None):
         self.field = field
         self.grid_spec = grid_spec
+        if sampling not in ("dense", "interval"):
+            raise ValueError(f"unknown sampling mode: {sampling}")
+        self.sampling = sampling
 
         @partial(jax.jit, static_argnames=())
         def _render(params, rays_o, rays_d, time_scalar, grid_binary, bg):
@@ -45,20 +58,41 @@ class ImageRenderer:
                 near=near, far=far, n_samples=n_samples, chunk=chunk,
                 time_scalar=time_scalar, grid_binary=grid_binary,
                 grid_spec=grid_spec, bg_color=bg, capacity=capacity,
-                ray_budget=ray_budget)
+                ray_budget=ray_budget, max_level=max_level)
+
+        @partial(jax.jit, static_argnames=())
+        def _render_interval(params, rays_o_img, rays_d_img, time_scalar,
+                             grid_binary, bg):
+            from ..render.intervals import image_intervals
+            t0, t1 = image_intervals(
+                grid_binary, grid_spec, rays_o_img, rays_d_img, near, far,
+                block=interval_block, n_probe=interval_probes,
+                dilate=interval_dilate)
+            return render_image(
+                field, params, rays_o_img.reshape(-1, 3),
+                rays_d_img.reshape(-1, 3),
+                near=near, far=far, n_samples=n_samples, chunk=chunk,
+                time_scalar=time_scalar, grid_binary=grid_binary,
+                grid_spec=grid_spec, bg_color=bg,
+                t0=t0.reshape(-1), t1=t1.reshape(-1), max_level=max_level)
 
         self._render = _render
+        self._render_interval = _render_interval
 
     def __call__(self, params, rays_o, rays_d, *, time=None,
                  grid_binary=None, bg_color=None) -> jnp.ndarray:
         h_w = rays_o.shape[:-1]
-        ro = rays_o.reshape(-1, 3)
-        rd = rays_d.reshape(-1, 3)
         t = None if not self.field.needs_time else jnp.float32(
             0.0 if time is None else time)
         bg = jnp.ones((3,), jnp.float32) if bg_color is None \
             else jnp.asarray(bg_color, jnp.float32)
-        rgb = self._render(params, ro, rd, t, grid_binary, bg)
+        if (self.sampling == "interval" and grid_binary is not None
+                and len(h_w) == 2):
+            rgb = self._render_interval(params, rays_o, rays_d, t,
+                                        grid_binary, bg)
+        else:
+            rgb = self._render(params, rays_o.reshape(-1, 3),
+                               rays_d.reshape(-1, 3), t, grid_binary, bg)
         return rgb.reshape(*h_w, 3)
 
 

@@ -61,13 +61,18 @@ class Field:
 def _hash_spec_from_cfg(cfg: dict, prefix: str = "",
                         default_bound: float = 1.0) -> HashGridSpec:
     g = lambda k, d: cfg.get(prefix + k, d)
+    n_feats = g("n_features_per_level", 2)
+    # brick rows require F=2; other widths (a valid reference config,
+    # reference: src/embeddings.py:46) fall back to the exact layout.
+    impl = cfg.get("hash_impl", "brick" if n_feats == 2 else "exact")
     return HashGridSpec(
         n_levels=g("n_levels", 16),
-        n_features_per_level=g("n_features_per_level", 2),
+        n_features_per_level=n_feats,
         log2_hashmap_size=g("log2_hashmap_size", 19),
         base_resolution=g("base_resolution", 16),
         per_level_scale=g("per_level_scale", 1.5),
         bound=cfg.get("scene_bound", default_bound),
+        impl=impl,
     )
 
 
@@ -296,13 +301,15 @@ def _build_part4(cfg: dict) -> Field:
     time_mod_dim = cfg.get("time_modulation_dim", 64)
     time_mod_layers = cfg.get("time_modulation_layers", 2)
 
+    deform_feats = cfg.get("deform_n_features_per_level", 2)
     deform_spec = HashGridSpec(
         n_levels=cfg.get("deform_n_levels", 14),
-        n_features_per_level=cfg.get("deform_n_features_per_level", 2),
+        n_features_per_level=deform_feats,
         log2_hashmap_size=cfg.get("deform_log2_hashmap_size", 19),
         base_resolution=cfg.get("deform_base_resolution", 16),
         per_level_scale=cfg.get("deform_per_level_scale", 1.5),
         bound=cfg.get("scene_bound", 1.5),
+        impl=cfg.get("hash_impl", "brick" if deform_feats == 2 else "exact"),
     )
     canon_spec = _hash_spec_from_cfg(cfg, default_bound=1.5)
 

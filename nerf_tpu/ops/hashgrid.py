@@ -80,12 +80,21 @@ class HashGridSpec:
     base_resolution: int = 16
     per_level_scale: float = 1.5
     bound: float = 1.0
+    # "brick": TPU-native brick-row layout (fast path, F=2 only).
+    # "exact": faithful Instant-NGP per-vertex layout (8 scalar-row gathers
+    # per point-level; ~8x slower) — the quality-reference implementation
+    # used to A/B the brick layout's seam/collision trade-offs, and the
+    # fallback for n_features_per_level != 2.
+    impl: str = "brick"
 
     def __post_init__(self):
-        if self.n_features_per_level != 2:
+        if self.impl not in ("brick", "exact"):
+            raise ValueError(f"unknown hash impl: {self.impl}")
+        if self.impl == "brick" and self.n_features_per_level != 2:
             raise NotImplementedError(
                 "brick rows are laid out for n_features_per_level=2 "
-                "(64 vertices x 2 = one 128-wide row)")
+                "(64 vertices x 2 = one 128-wide row); use impl='exact' "
+                "(cfg key hash_impl: exact) for other feature widths")
 
     @property
     def resolutions(self) -> Tuple[int, ...]:
@@ -136,11 +145,32 @@ class HashGridSpec:
     def out_dim(self) -> int:
         return self.n_levels * self.n_features_per_level
 
+    # ---- exact (per-vertex, Instant-NGP-faithful) layout -----------------
+    @property
+    def level_vertices(self) -> Tuple[int, ...]:
+        """Exact-impl entries per level: dense res^3 if it fits the table,
+        else the 2^log2_hashmap_size hash budget
+        (reference: src/embeddings.py:45-52 / Mueller et al. sec. 3)."""
+        cap = 1 << self.log2_hashmap_size
+        return tuple(min(res ** 3, cap) for res in self.resolutions)
+
+    @property
+    def level_vertex_offsets(self) -> Tuple[int, ...]:
+        offs = [0]
+        for s in self.level_vertices:
+            offs.append(offs[-1] + s)
+        return tuple(offs)
+
 
 def hash_grid_init(key: jax.Array, spec: HashGridSpec,
                    dtype=jnp.float32) -> jnp.ndarray:
-    """Init the brick table [n_bricks, 128] with U(-1e-4, 1e-4)
-    (the same init scale tiny-cuda-nn uses for grid encodings)."""
+    """Init the feature table with U(-1e-4, 1e-4) (the same init scale
+    tiny-cuda-nn uses for grid encodings). Shape depends on the layout:
+    brick -> [n_bricks, 128]; exact -> [n_vertices, F]."""
+    if spec.impl == "exact":
+        return jax.random.uniform(
+            key, (spec.level_vertex_offsets[-1], spec.n_features_per_level),
+            dtype, -1e-4, 1e-4)
     return jax.random.uniform(
         key, (spec.n_bricks, _ROW_W), dtype, -1e-4, 1e-4)
 
@@ -148,6 +178,94 @@ def hash_grid_init(key: jax.Array, spec: HashGridSpec,
 def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
                 spec: HashGridSpec, max_level: int | None = None
                 ) -> jnp.ndarray:
+    if spec.impl == "exact":
+        return hash_encode_exact(table, x, spec, max_level)
+    return _hash_encode_brick(table, x, spec, max_level)
+
+
+def hash_encode_exact(table: jnp.ndarray, x: jnp.ndarray,
+                      spec: HashGridSpec, max_level: int | None = None
+                      ) -> jnp.ndarray:
+    """Faithful Instant-NGP encoding: 8 per-vertex gathers + trilerp per
+    level, dense levels indexed directly, hashed levels via the spatial
+    hash on VERTEX coordinates (Mueller et al. 2022, eq. 4).
+
+    This is the quality-reference implementation for the brick-row layout
+    (which hashes brick coordinates and duplicates seam vertices): same
+    signature, same config surface, ~8x the gather descriptors.
+    """
+    n = x.shape[0]
+    f = spec.n_features_per_level
+    xf = x.astype(jnp.float32)
+    x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
+    cap = 1 << spec.log2_hashmap_size
+
+    # the 8 cell-corner offsets
+    corners = jnp.asarray(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+        jnp.int32)                                          # [8, 3]
+
+    def level_feats(res, offset, dense):
+        resf = jnp.asarray(res, jnp.float32)
+        pos = x01 * (resf - 1.0)
+        p0 = jnp.clip(jnp.floor(pos), 0.0, resf - 2.0)
+        frac = pos - p0
+        p0 = p0.astype(jnp.int32)
+        cv = p0[:, None, :] + corners[None, :, :]           # [N, 8, 3]
+        cu = cv.astype(jnp.uint32)
+        if dense:
+            res_u = jnp.asarray(res, jnp.uint32)
+            idx = cu[..., 0] + res_u * (cu[..., 1] + res_u * cu[..., 2])
+        else:
+            idx = ((cu[..., 0] * np.uint32(_PRIMES[0]))
+                   ^ (cu[..., 1] * np.uint32(_PRIMES[1]))
+                   ^ (cu[..., 2] * np.uint32(_PRIMES[2]))) \
+                & np.uint32(cap - 1)
+        idx = idx.astype(jnp.int32) + offset                # [N, 8]
+        vals = jnp.take(table, idx.reshape(-1), axis=0, mode="clip") \
+            .reshape(n, 8, f).astype(jnp.float32)
+        # trilinear weights in corner order (i, j, k)
+        w = jnp.ones((n, 8), jnp.float32)
+        for a in range(3):
+            fa = frac[:, a:a + 1]
+            ca = corners[None, :, a].astype(jnp.float32)
+            w = w * (ca * fa + (1.0 - ca) * (1.0 - fa))
+        return jnp.sum(w[..., None] * vals, axis=1)         # [N, F]
+
+    lmax = spec.n_levels if max_level is None else min(max_level,
+                                                       spec.n_levels)
+    sizes = spec.level_vertices
+    offsets = spec.level_vertex_offsets
+    dense_lvls = [l for l in range(lmax)
+                  if spec.resolutions[l] ** 3 <= cap]
+    hashed_lvls = [l for l in range(lmax) if l not in dense_lvls]
+
+    feats = [level_feats(spec.resolutions[l], offsets[l], True)
+             for l in dense_lvls]
+
+    if hashed_lvls:
+        assert all(sizes[l] == cap for l in hashed_lvls)
+        res_arr = jnp.asarray([spec.resolutions[l] for l in hashed_lvls],
+                              jnp.int32)
+        off_arr = jnp.asarray([offsets[l] for l in hashed_lvls], jnp.int32)
+
+        @jax.checkpoint
+        def _one(ro):
+            res, offset = ro
+            return level_feats(res, offset, False).T        # [F, N]
+
+        _, ys = jax.lax.scan(lambda _, ro: (None, _one(ro)), None,
+                             (res_arr, off_arr), unroll=True)
+        feats.append(ys.reshape(len(hashed_lvls) * f, n).T)
+
+    if lmax < spec.n_levels:
+        feats.append(jnp.zeros((n, (spec.n_levels - lmax) * f), jnp.float32))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def _hash_encode_brick(table: jnp.ndarray, x: jnp.ndarray,
+                       spec: HashGridSpec, max_level: int | None = None
+                       ) -> jnp.ndarray:
     """Encode world-space points with the multiresolution hash grid.
 
     Args:

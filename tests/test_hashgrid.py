@@ -133,3 +133,110 @@ def test_max_level_lod(rng_key):
     np.testing.assert_allclose(np.asarray(lod[:, :2 * f]),
                                np.asarray(full[:, :2 * f]), rtol=1e-6)
     np.testing.assert_array_equal(np.asarray(lod[:, 2 * f:]), 0.0)
+
+
+# ---------------------------------------------------------------- exact impl
+def _exact_spec(**kw):
+    from nerf_tpu.ops.hashgrid import HashGridSpec
+    d = dict(n_levels=4, n_features_per_level=2, log2_hashmap_size=10,
+             base_resolution=4, per_level_scale=1.6, bound=1.0, impl="exact")
+    d.update(kw)
+    return HashGridSpec(**d)
+
+
+def test_exact_encode_matches_numpy_reference(rng_key):
+    """hash_encode_exact vs an independent numpy trilerp on dense levels."""
+    from nerf_tpu.ops.hashgrid import hash_encode, hash_grid_init
+    spec = _exact_spec(n_levels=2)          # res 4, 6 -> both dense
+    table = hash_grid_init(rng_key, spec)
+    x = jax.random.uniform(rng_key, (64, 3), jnp.float32, -1.0, 1.0)
+    out = np.asarray(hash_encode(table, x, spec))
+
+    tab = np.asarray(table)
+    x01 = np.clip((np.asarray(x) + 1.0) / 2.0, 0.0, 1.0)
+    offs = spec.level_vertex_offsets
+    for l, res in enumerate(spec.resolutions):
+        pos = x01 * (res - 1)
+        p0 = np.clip(np.floor(pos), 0, res - 2).astype(np.int64)
+        fr = pos - p0
+        acc = np.zeros((64, 2), np.float32)
+        for ci in (0, 1):
+            for cj in (0, 1):
+                for ck in (0, 1):
+                    cx, cy, cz = p0[:, 0] + ci, p0[:, 1] + cj, p0[:, 2] + ck
+                    idx = cx + res * (cy + res * cz) + offs[l]
+                    w = (np.where(ci, fr[:, 0], 1 - fr[:, 0])
+                         * np.where(cj, fr[:, 1], 1 - fr[:, 1])
+                         * np.where(ck, fr[:, 2], 1 - fr[:, 2]))
+                    acc += w[:, None] * tab[idx]
+        np.testing.assert_allclose(out[:, 2 * l:2 * l + 2], acc,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_exact_encode_grad_flows_and_hashed_levels(rng_key):
+    from nerf_tpu.ops.hashgrid import hash_encode, hash_grid_init
+    spec = _exact_spec(n_levels=6, log2_hashmap_size=8)   # finest hashed
+    assert spec.level_vertices[-1] == 256                  # capped
+    table = hash_grid_init(rng_key, spec)
+    x = jax.random.uniform(rng_key, (32, 3), jnp.float32, -0.9, 0.9)
+
+    def loss(tab):
+        return jnp.sum(hash_encode(tab, x, spec) ** 2)
+
+    g = jax.grad(loss)(table)
+    assert float(jnp.sum(jnp.abs(g))) > 0.0
+    assert g.shape == table.shape
+
+
+def test_exact_encode_max_level(rng_key):
+    from nerf_tpu.ops.hashgrid import hash_encode, hash_grid_init
+    spec = _exact_spec(n_levels=4)
+    table = hash_grid_init(rng_key, spec)
+    x = jax.random.uniform(rng_key, (16, 3), jnp.float32, -1.0, 1.0)
+    full = hash_encode(table, x, spec)
+    lod = hash_encode(table, x, spec, max_level=2)
+    np.testing.assert_allclose(np.asarray(lod[:, :4]),
+                               np.asarray(full[:, :4]), atol=0)
+    np.testing.assert_allclose(np.asarray(lod[:, 4:]), 0.0, atol=0)
+
+
+def test_field_with_exact_impl_trains_a_step(rng_key):
+    from nerf_tpu.models import build_field
+    import optax
+    cfg = {"mode": "part2_instant", "n_levels": 4, "log2_hashmap_size": 9,
+           "hidden_dim": 16, "scene_bound": 1.5, "hash_impl": "exact"}
+    field = build_field(cfg)
+    params = jax.jit(field.init)(rng_key)
+    pts = jax.random.uniform(rng_key, (128, 3), jnp.float32, -1.0, 1.0)
+    dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (128, 3))
+    tgt = jnp.zeros((128, 3))
+
+    tx = optax.adam(1e-2)
+    st = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(p):
+            rgb, _ = field.apply(p, pts, dirs)
+            return jnp.mean((rgb - tgt) ** 2)
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    p1, st, l0 = step(params, st)
+    p2, st, l1 = step(p1, st)
+    assert float(l1) < float(l0)
+
+
+def test_fields_fallback_to_exact_for_f_not_2(rng_key):
+    """n_features_per_level != 2 (a valid reference config key) must build
+    and run instead of crashing (round-1 verdict weak item 6)."""
+    from nerf_tpu.models import build_field
+    cfg = {"mode": "part2_instant", "n_levels": 4, "log2_hashmap_size": 9,
+           "n_features_per_level": 4, "hidden_dim": 16, "scene_bound": 1.5}
+    field = build_field(cfg)
+    params = jax.jit(field.init)(rng_key)
+    pts = jax.random.uniform(rng_key, (16, 3), jnp.float32, -1.0, 1.0)
+    dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (16, 3))
+    rgb, sigma = field.apply(params, pts, dirs)
+    assert rgb.shape == (16, 3) and sigma.shape == (16, 1)

@@ -61,12 +61,30 @@ def main():
     import os
     ray_budget = int(os.environ.get("BENCH_RAY_BUDGET", 24))
     max_level = int(os.environ.get("BENCH_MAX_LEVEL", 12))
+    mode = os.environ.get("BENCH_MODE", "baked")
 
-    renderer = ImageRenderer(field, near=2.0, far=6.0, n_samples=ray_budget,
+    if mode == "baked":
+        # Production render path: sigma-net field baked once per checkpoint
+        # into brick-row tables (render/bake.py) — 2 row-gathers per point
+        # vs one per hash level, occupancy pruning folded into the bake.
+        from nerf_tpu.render.bake import BakedSpec, bake_instant_field, \
+            build_baked_field
+        bspec = BakedSpec(resolution=512, bound=1.5)
+        baked = bake_instant_field(field, params, bspec,
+                                   grid_binary=binary, grid_spec=grid_spec)
+        render_field, render_params = build_baked_field(bspec), baked
+        fine_mask = False
+    else:
+        render_field, render_params = field, params
+        fine_mask = True
+
+    renderer = ImageRenderer(render_field, near=2.0, far=6.0,
+                             n_samples=ray_budget,
                              chunk=chunk, grid_spec=grid_spec,
                              sampling="interval", interval_block=4,
                              interval_probes=128, interval_dilate=1,
-                             max_level=max_level)
+                             fine_mask=fine_mask, max_level=max_level)
+    params = render_params
 
     pose = jnp.asarray(orbit_poses(1, radius=4.0, center=[0, 0, 0],
                                    height=1.0)[0])

@@ -56,6 +56,9 @@ class Field:
     # part4 only: delta through one named anchor grid
     # (reference: run.py:1905-1936 anchor losses).
     deform_delta_via_grid: Optional[Callable] = None
+    # Encoder producing the sigma-net input (for render/bake.py): present on
+    # fields whose decoder is the instant sigma/color pair.
+    encode_for_bake: Optional[Callable] = None
 
 
 def _hash_spec_from_cfg(cfg: dict, prefix: str = "",
@@ -175,10 +178,14 @@ def _build_part2_instant(cfg: dict) -> Field:
         de = fourier_encode(d, L_dir).astype(cd)
         return D.instant_decoder_apply(params["decoder"], h, de)
 
+    def encode_for_bake(params, x):
+        return hash_encode(params["representation"], x, spec).astype(cd)
+
     return Field(mode="part2_instant", init=init, apply=apply,
                  needs_dirs=True, needs_time=False,
                  hash_tables=("representation",),
-                 specs={"representation": spec})
+                 specs={"representation": spec},
+                 encode_for_bake=encode_for_bake)
 
 
 # ------------------------------------------------------------------- part 3

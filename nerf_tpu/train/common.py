@@ -44,6 +44,7 @@ class ImageRenderer:
                  sampling: str = "dense",
                  interval_block: int = 4, interval_probes: int = 128,
                  interval_dilate: int = 1,
+                 fine_mask: bool = True,
                  max_level: Optional[int] = None):
         self.field = field
         self.grid_spec = grid_spec
@@ -68,11 +69,14 @@ class ImageRenderer:
                 grid_binary, grid_spec, rays_o_img, rays_d_img, near, far,
                 block=interval_block, n_probe=interval_probes,
                 dilate=interval_dilate)
+            # fine_mask=False skips the per-sample occupancy lookup — for
+            # baked fields, whose bake already folds pruning into sigma.
             return render_image(
                 field, params, rays_o_img.reshape(-1, 3),
                 rays_d_img.reshape(-1, 3),
                 near=near, far=far, n_samples=n_samples, chunk=chunk,
-                time_scalar=time_scalar, grid_binary=grid_binary,
+                time_scalar=time_scalar,
+                grid_binary=grid_binary if fine_mask else None,
                 grid_spec=grid_spec, bg_color=bg,
                 t0=t0.reshape(-1), t1=t1.reshape(-1), max_level=max_level)
 

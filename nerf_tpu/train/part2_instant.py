@@ -163,14 +163,34 @@ def run_part2_instant(cfg: dict, args) -> None:
         data = train_set.ray_data
         H, W, focal = train_set.H, train_set.W, train_set.focal
 
+        # Optional data parallelism over the ray batch (cfg mesh_devices):
+        # the full recipe (random bg, TV, grid skipping) shards via
+        # shard_map; params + optimizer state stay replicated with one
+        # pmean over grads.
+        mesh = None
+        axis = "data"
+        mesh_devices = cfg.get("mesh_devices", 1)
+        if mesh_devices > 1:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(mesh_devices)
+            if batch_size % mesh_devices:
+                raise ValueError(f"batch_size {batch_size} must be "
+                                 f"divisible by mesh size {mesh_devices}")
+            print(f">>> data-parallel mesh: {mesh_devices} devices")
+        local_batch = batch_size // (mesh_devices if mesh else 1)
+
         def make_step(capacity, ray_budget=None):
-            @partial(jax.jit, donate_argnums=(0, 1),
-                     static_argnames=("use_grid",))
-            def train_step(params, opt_state, rng, step, grid_binary,
-                           use_grid=False):
+            def local_grads(params, rng, step, grid_binary, use_grid):
                 r_sample, r_bg, r_render = jax.random.split(rng, 3)
+                if mesh is not None:
+                    # Device-unique rays/jitter; the bg key stays unfolded
+                    # so every device composites against the same
+                    # background (one bg per step, like the reference).
+                    idx = jax.lax.axis_index(axis)
+                    r_sample = jax.random.fold_in(r_sample, idx)
+                    r_render = jax.random.fold_in(r_render, idx)
                 rays_o, rays_d, rgba, _ = sample_random_rays(
-                    data, r_sample, batch_size, H, W, focal, scene_scale)
+                    data, r_sample, local_batch, H, W, focal, scene_scale)
                 # Random background from `random_bg_start` on
                 # (reference: run.py:588-594), selected in-graph.
                 rand_bg = jax.random.uniform(r_bg, (3,))
@@ -193,8 +213,25 @@ def run_part2_instant(cfg: dict, args) -> None:
                                * tv_loss_weight if use_tv_loss else 0.0)
                     return loss_rgb + loss_tv, (loss_rgb, loss_tv)
 
-                (loss, (loss_rgb, loss_tv)), grads = jax.value_and_grad(
+                out, grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
+                if mesh is not None:
+                    out, grads = jax.lax.pmean((out, grads), axis)
+                return out, grads
+
+            @partial(jax.jit, donate_argnums=(0, 1),
+                     static_argnames=("use_grid",))
+            def train_step(params, opt_state, rng, step, grid_binary,
+                           use_grid=False):
+                fn = partial(local_grads, use_grid=use_grid)
+                if mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+                    fn = jax.shard_map(fn, mesh=mesh,
+                                       in_specs=(P(), P(), P(), P()),
+                                       out_specs=(P(), P()),
+                                       check_vma=False)
+                (loss, (loss_rgb, loss_tv)), grads = fn(
+                    params, rng, step, grid_binary)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = jax.tree.map(lambda p, u: p + u, params, updates)
                 return params, opt_state, loss, loss_rgb, loss_tv
@@ -213,9 +250,21 @@ def run_part2_instant(cfg: dict, args) -> None:
             print(f">>> random background from step {random_bg_start}")
         print(f">>> tensorboard --logdir={os.path.join(log_dir, 'tensorboard')}")
 
-        val_renderer = ImageRenderer(field, near=near, far=far,
-                                     n_samples=render_n_samples, chunk=chunk,
-                                     grid_spec=grid_spec)
+        # Validation renders use the interval sampler when a grid exists:
+        # the dense masked path at the reference's chunk (200k rays x 128
+        # samples = 25.6M field points) overflows HBM and ignores skipping
+        # entirely. Interval mode places render_ray_budget samples inside
+        # the occupied span per ray — the same renderer eval uses.
+        if grid_state is not None:
+            val_renderer = ImageRenderer(
+                field, near=near, far=far,
+                n_samples=cfg.get("render_ray_budget", 32),
+                chunk=min(chunk, 65536), grid_spec=grid_spec,
+                sampling="interval")
+        else:
+            val_renderer = ImageRenderer(
+                field, near=near, far=far, n_samples=render_n_samples,
+                chunk=min(chunk, 32768), grid_spec=grid_spec)
         best_val_psnr = 0.0
         rng = key
         dummy_binary = (grid_state["binary"] if grid_state is not None
@@ -291,17 +340,18 @@ def run_part2_instant(cfg: dict, args) -> None:
 
     # ---------------------------------------------------------------- eval
     binary = grid_state["binary"] if grid_state is not None else None
-    eval_capacity = None
-    ray_budget = cfg.get("render_ray_budget")
-    if binary is not None and ray_budget is None \
-            and active_ratio < switch_ratio:
-        eval_capacity = max(4096, int(chunk * render_n_samples
-                                      * cap_frac) // 1024 * 1024)
-    renderer = ImageRenderer(field, near=near, far=far,
-                             n_samples=render_n_samples, chunk=chunk,
-                             grid_spec=grid_spec, capacity=eval_capacity,
-                             ray_budget=ray_budget if binary is not None
-                             else None)
+    if binary is not None:
+        renderer = ImageRenderer(
+            field, near=near, far=far,
+            n_samples=cfg.get("render_ray_budget", 32),
+            chunk=min(chunk, 65536), grid_spec=grid_spec,
+            sampling="interval",
+            max_level=cfg.get("render_max_level"))
+    else:
+        renderer = ImageRenderer(field, near=near, far=far,
+                                 n_samples=render_n_samples,
+                                 chunk=min(chunk, 32768),
+                                 grid_spec=grid_spec)
 
     if args.eval_only:
         if args.render_n == -1:

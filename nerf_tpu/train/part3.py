@@ -160,14 +160,31 @@ def run_part3(cfg: dict, args) -> None:
         data = train_set.ray_data
         H, W, focal = train_set.H, train_set.W, train_set.focal
 
+        # Optional data parallelism over the ray batch (cfg mesh_devices):
+        # the full 5-term recipe shards via shard_map; params + optimizer
+        # state stay replicated with one pmean over grads.
+        mesh = None
+        axis = "data"
+        mesh_devices = cfg.get("mesh_devices", 1)
+        if mesh_devices > 1:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(mesh_devices)
+            if batch_size % mesh_devices:
+                raise ValueError(f"batch_size {batch_size} must be "
+                                 f"divisible by mesh size {mesh_devices}")
+            print(f">>> data-parallel mesh: {mesh_devices} devices")
+        local_batch = batch_size // (mesh_devices if mesh else 1)
+
         def make_step(capacity, ray_budget=None):
-            @partial(jax.jit, donate_argnums=(0, 1),
-                     static_argnames=("use_grid",))
-            def train_step(params, opt_state, rng, step, grid_binary,
-                           use_grid=False):
-                rs = jax.random.split(rng, 6)
+            def local_grads(params, rng, step, grid_binary, use_grid):
+                rs = list(jax.random.split(rng, 6))
+                if mesh is not None:
+                    # Device-unique keys except the shared bg draw rs[1].
+                    idx = jax.lax.axis_index(axis)
+                    for i in (0, 2, 3, 4, 5):
+                        rs[i] = jax.random.fold_in(rs[i], idx)
                 rays_o, rays_d, rgba, times = sample_random_rays(
-                    data, rs[0], batch_size, H, W, focal, scene_scale)
+                    data, rs[0], local_batch, H, W, focal, scene_scale)
                 rand_bg = jax.random.uniform(rs[1], (3,))
                 use_rand = jnp.logical_and(use_random_bg,
                                            step >= random_bg_start)
@@ -236,6 +253,23 @@ def run_part3(cfg: dict, args) -> None:
 
                 (total, aux), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(params)
+                if mesh is not None:
+                    total, aux, grads = jax.lax.pmean((total, aux, grads),
+                                                      axis)
+                return total, aux, grads
+
+            @partial(jax.jit, donate_argnums=(0, 1),
+                     static_argnames=("use_grid",))
+            def train_step(params, opt_state, rng, step, grid_binary,
+                           use_grid=False):
+                fn = partial(local_grads, use_grid=use_grid)
+                if mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+                    fn = jax.shard_map(fn, mesh=mesh,
+                                       in_specs=(P(), P(), P(), P()),
+                                       out_specs=(P(), P(), P()),
+                                       check_vma=False)
+                total, aux, grads = fn(params, rng, step, grid_binary)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = jax.tree.map(lambda a, u: a + u, params, updates)
                 return params, opt_state, total, aux

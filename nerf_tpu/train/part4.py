@@ -49,6 +49,198 @@ def _lr_mult(path_keys) -> float:
     return 1.0
 
 
+def make_part4_train_step(cfg: dict, field, tx, data, *, H, W, focal,
+                          capacity=None, ray_budget=None,
+                          mesh=None, axis: str = "data"):
+    """Build the jitted Part-4 train step: 7-term loss (RGB, delta-x L2,
+    TV-displacement x3, TV-canonical, cadenced temporal / volume /
+    tri-grid-anchor terms, reference: run.py:1836-1936) + AdamW with
+    grouped LRs.
+
+    When `mesh` is given the ray batch shards across it (shard_map): each
+    device samples batch_size/n_dev rays with a device-folded key and the
+    regularizers draw device-distinct sample points; params and optimizer
+    state stay replicated through one pmean over grads. Single-device and
+    mesh semantics match in expectation (the RGB term is a mean over the
+    same global batch size).
+
+    Returns train_step(params, opt_state, rng, step, grid_binary,
+    use_grid=False) -> (params, opt_state, total, aux7).
+    """
+    scene_scale = cfg.get("scene_scale", 1.0)
+    near = float(cfg.get("near", 2.0))
+    far = float(cfg.get("far", 6.0))
+    n_samples = cfg.get("n_samples", 64)
+    batch_size = cfg.get("batch_size", 4096)
+    white_bkgd = cfg.get("white_bkgd", True)
+    scene_bound = cfg.get("scene_bound", 1.5)
+    grid_spec = DensityGridSpec(cfg.get("grid_resolution", 128),
+                                scene_bound,
+                                cfg.get("grid_threshold", 0.01))
+    fixed_bg = (jnp.ones((3,), jnp.float32) if white_bkgd
+                else jnp.zeros((3,), jnp.float32))
+
+    use_tv_disp = cfg.get("use_tv_displacement", True)
+    tv_disp_weight = cfg.get("tv_displacement_weight", 0.001)
+    tv_loss_weight = cfg.get("tv_loss_weight", 1e-5)
+    deformation_reg_weight = cfg.get("deformation_reg_weight", 0.01)
+    use_temporal_smooth = cfg.get("use_temporal_smooth", True)
+    temporal_smooth_weight = cfg.get("temporal_smooth_weight", 1e-4)
+    temporal_epsilon = cfg.get("temporal_epsilon", 0.02)
+    use_random_bg = cfg.get("use_random_bg", False)
+    random_bg_start = (cfg.get("random_bg_start", 0)
+                       if use_random_bg else 10 ** 9)
+    use_unsup = cfg.get("use_unsupervised_consistency", False)
+    unsup_weight = cfg.get("unsup_consistency_weight", 0.001)
+    use_static_anchor = cfg.get("use_static_anchor", True)
+    static_anchor_weight = cfg.get("static_anchor_weight", 0.01)
+    grid_warmup_iters = cfg.get("grid_warmup_iters", 256)
+    via_grid = field.deform_delta_via_grid
+
+    n_dev = mesh.shape[axis] if mesh is not None else 1
+    if batch_size % n_dev:
+        raise ValueError(f"batch_size {batch_size} must be divisible by "
+                         f"the mesh size {n_dev}")
+    local_batch = batch_size // n_dev
+
+    def local_grads(params, rng, step, grid_binary, use_grid):
+        rs = list(jax.random.split(rng, 8))
+        if mesh is not None:
+            # Device-unique keys for ray sampling, render jitter, and the
+            # regularizer sample points (more reg coverage per step); the
+            # bg key rs[1] stays unfolded so every device composites
+            # against the same per-step background, like the reference.
+            idx = jax.lax.axis_index(axis)
+            for i in (0, 2, 3, 4, 5, 6, 7):
+                rs[i] = jax.random.fold_in(rs[i], idx)
+        rays_o, rays_d, rgba, times = sample_random_rays(
+            data, rs[0], local_batch, H, W, focal, scene_scale)
+        rand_bg = jax.random.uniform(rs[1], (3,))
+        use_rand = jnp.logical_and(use_random_bg,
+                                   step >= random_bg_start)
+        bg = jnp.where(use_rand, rand_bg, fixed_bg)
+        target = composite_target(rgba, bg)
+        warm = step > grid_warmup_iters
+
+        def loss_fn(p):
+            pred, _, _, extras = render_rays(
+                field, p, rays_o, rays_d, rng=rs[2],
+                near=near, far=far, n_samples=n_samples,
+                perturb=True, times=times, bg_color=bg, train=True,
+                grid_binary=grid_binary if use_grid else None,
+                grid_spec=grid_spec,
+                capacity=capacity if use_grid else None,
+                ray_budget=ray_budget if use_grid else None)
+            loss_rgb = jnp.mean((pred - target) ** 2)
+            loss_reg = jnp.mean(extras["mean_delta_x"] ** 2) \
+                * deformation_reg_weight
+
+            # TV over the three displacement grids, averaged
+            # (reference: run.py:1842-1852).
+            loss_tv_disp = 0.0
+            if use_tv_disp:
+                loss_tv_disp = (
+                    tv_loss_flat(p["deform_grid_start"])
+                    + tv_loss_flat(p["deform_grid_mid"])
+                    + tv_loss_flat(p["deform_grid_end"])
+                ) * tv_disp_weight / 3.0
+
+            loss_tv_canon = 0.0
+            if tv_loss_weight > 0:
+                loss_tv_canon = tv_loss_flat(p["canonical_repr"]) \
+                    * tv_loss_weight
+
+            # Temporal smoothness every 16 steps, 64 pts, via the
+            # start grid (reference: run.py:1862-1881).
+            loss_temporal = 0.0
+            if use_temporal_smooth:
+                def t_loss():
+                    x = jax.random.uniform(
+                        rs[3], (64, 3), minval=-scene_bound,
+                        maxval=scene_bound)
+                    t0 = jax.random.uniform(
+                        rs[4], (64, 1),
+                        maxval=1.0 - temporal_epsilon)
+                    d0 = via_grid(p, "deform_grid_start", x, t0)
+                    d1 = via_grid(p, "deform_grid_start", x,
+                                  t0 + temporal_epsilon)
+                    return jnp.mean((d0 - d1) ** 2) \
+                        * temporal_smooth_weight * 16.0
+                gate = jnp.logical_and(warm, step % 16 == 0)
+                loss_temporal = jax.lax.cond(
+                    gate, t_loss, lambda: jnp.float32(0.0))
+
+            # Volume conservation every 32 steps, 128 pts
+            # (reference: run.py:1884-1896).
+            loss_unsup = 0.0
+            if use_unsup:
+                def u_loss():
+                    t_r = jax.random.uniform(rs[5], (128, 1))
+                    x_r = jax.random.uniform(
+                        rs[6], (128, 3), minval=-scene_bound,
+                        maxval=scene_bound)
+                    d_r = via_grid(p, "deform_grid_start", x_r, t_r)
+                    return jnp.mean(jnp.abs(d_r.mean(axis=0))) \
+                        * unsup_weight * 32.0
+                gate = jnp.logical_and(warm, step % 32 == 0)
+                loss_unsup = jax.lax.cond(
+                    gate, u_loss, lambda: jnp.float32(0.0))
+
+            # Tri-grid anchor losses every 16 steps: t=0 zero
+            # displacement + start/mid consistency at t=1/6
+            # (reference: run.py:1905-1936).
+            loss_anchor = 0.0
+            if use_static_anchor:
+                def a_loss():
+                    x_a = jax.random.uniform(
+                        rs[7], (128, 3), minval=-scene_bound,
+                        maxval=scene_bound)
+                    t_zero = jnp.zeros((128, 1))
+                    d_zero = via_grid(p, "deform_grid_start",
+                                      x_a, t_zero)
+                    loss_start = jnp.mean(d_zero ** 2)
+                    t_a = jnp.full((128, 1), 1.0 / 6.0)
+                    d_s = via_grid(p, "deform_grid_start", x_a, t_a)
+                    d_m = via_grid(p, "deform_grid_mid", x_a, t_a)
+                    loss_cons = jnp.mean((d_s - d_m) ** 2) * 0.1
+                    return (loss_start + loss_cons) \
+                        * static_anchor_weight * 16.0
+                gate = jnp.logical_and(warm, step % 16 == 0)
+                loss_anchor = jax.lax.cond(
+                    gate, a_loss, lambda: jnp.float32(0.0))
+
+            total = (loss_rgb + loss_reg + loss_tv_disp
+                     + loss_tv_canon + loss_temporal + loss_unsup
+                     + loss_anchor)
+            return total, (loss_rgb, loss_reg, loss_tv_disp,
+                           loss_tv_canon, loss_temporal, loss_unsup,
+                           loss_anchor)
+
+        (total, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        if mesh is not None:
+            # One reduction rides the ICI: grads + the logged scalars.
+            total, aux, grads = jax.lax.pmean((total, aux, grads), axis)
+        return total, aux, grads
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnames=("use_grid",))
+    def train_step(params, opt_state, rng, step, grid_binary,
+                   use_grid=False):
+        fn = partial(local_grads, use_grid=use_grid)
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            fn = jax.shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(), P(), P(), P()),
+                out_specs=(P(), P(), P()), check_vma=False)
+        total, aux, grads = fn(params, rng, step, grid_binary)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda a, u: a + u, params, updates)
+        return params, opt_state, total, aux
+
+    return train_step
+
+
 def run_part4(cfg: dict, args) -> None:
     # Host-side RNG for val-split / render-image choices: seeded so the
     # val split and best-checkpoint selection reproduce across reruns.
@@ -160,123 +352,20 @@ def run_part4(cfg: dict, args) -> None:
 
         data = train_set.ray_data
         H, W, focal = train_set.H, train_set.W, train_set.focal
-        via_grid = field.deform_delta_via_grid
+
+        # Optional data parallelism over the ray batch (cfg mesh_devices):
+        # the full 7-term recipe shards via shard_map inside the builder.
+        mesh = None
+        mesh_devices = cfg.get("mesh_devices", 1)
+        if mesh_devices > 1:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(mesh_devices)
+            print(f">>> data-parallel mesh: {mesh_devices} devices")
 
         def make_step(capacity, ray_budget=None):
-            @partial(jax.jit, donate_argnums=(0, 1),
-                     static_argnames=("use_grid",))
-            def train_step(params, opt_state, rng, step, grid_binary,
-                           use_grid=False):
-                rs = jax.random.split(rng, 8)
-                rays_o, rays_d, rgba, times = sample_random_rays(
-                    data, rs[0], batch_size, H, W, focal, scene_scale)
-                rand_bg = jax.random.uniform(rs[1], (3,))
-                use_rand = jnp.logical_and(use_random_bg,
-                                           step >= random_bg_start)
-                bg = jnp.where(use_rand, rand_bg, fixed_bg)
-                target = composite_target(rgba, bg)
-                warm = step > grid_warmup_iters
-
-                def loss_fn(p):
-                    pred, _, _, extras = render_rays(
-                        field, p, rays_o, rays_d, rng=rs[2],
-                        near=near, far=far, n_samples=n_samples,
-                        perturb=True, times=times, bg_color=bg, train=True,
-                        grid_binary=grid_binary if use_grid else None,
-                        grid_spec=grid_spec,
-                        capacity=capacity if use_grid else None,
-                        ray_budget=ray_budget if use_grid else None)
-                    loss_rgb = jnp.mean((pred - target) ** 2)
-                    loss_reg = jnp.mean(extras["mean_delta_x"] ** 2) \
-                        * deformation_reg_weight
-
-                    # TV over the three displacement grids, averaged
-                    # (reference: run.py:1842-1852).
-                    loss_tv_disp = 0.0
-                    if use_tv_disp:
-                        loss_tv_disp = (
-                            tv_loss_flat(p["deform_grid_start"])
-                            + tv_loss_flat(p["deform_grid_mid"])
-                            + tv_loss_flat(p["deform_grid_end"])
-                        ) * tv_disp_weight / 3.0
-
-                    loss_tv_canon = 0.0
-                    if tv_loss_weight > 0:
-                        loss_tv_canon = tv_loss_flat(p["canonical_repr"]) \
-                            * tv_loss_weight
-
-                    # Temporal smoothness every 16 steps, 64 pts, via the
-                    # start grid (reference: run.py:1862-1881).
-                    loss_temporal = 0.0
-                    if use_temporal_smooth:
-                        def t_loss():
-                            x = jax.random.uniform(
-                                rs[3], (64, 3), minval=-scene_bound,
-                                maxval=scene_bound)
-                            t0 = jax.random.uniform(
-                                rs[4], (64, 1),
-                                maxval=1.0 - temporal_epsilon)
-                            d0 = via_grid(p, "deform_grid_start", x, t0)
-                            d1 = via_grid(p, "deform_grid_start", x,
-                                          t0 + temporal_epsilon)
-                            return jnp.mean((d0 - d1) ** 2) \
-                                * temporal_smooth_weight * 16.0
-                        gate = jnp.logical_and(warm, step % 16 == 0)
-                        loss_temporal = jax.lax.cond(
-                            gate, t_loss, lambda: jnp.float32(0.0))
-
-                    # Volume conservation every 32 steps, 128 pts
-                    # (reference: run.py:1884-1896).
-                    loss_unsup = 0.0
-                    if use_unsup:
-                        def u_loss():
-                            t_r = jax.random.uniform(rs[5], (128, 1))
-                            x_r = jax.random.uniform(
-                                rs[6], (128, 3), minval=-scene_bound,
-                                maxval=scene_bound)
-                            d_r = via_grid(p, "deform_grid_start", x_r, t_r)
-                            return jnp.mean(jnp.abs(d_r.mean(axis=0))) \
-                                * unsup_weight * 32.0
-                        gate = jnp.logical_and(warm, step % 32 == 0)
-                        loss_unsup = jax.lax.cond(
-                            gate, u_loss, lambda: jnp.float32(0.0))
-
-                    # Tri-grid anchor losses every 16 steps: t=0 zero
-                    # displacement + start/mid consistency at t=1/6
-                    # (reference: run.py:1905-1936).
-                    loss_anchor = 0.0
-                    if use_static_anchor:
-                        def a_loss():
-                            x_a = jax.random.uniform(
-                                rs[7], (128, 3), minval=-scene_bound,
-                                maxval=scene_bound)
-                            t_zero = jnp.zeros((128, 1))
-                            d_zero = via_grid(p, "deform_grid_start",
-                                              x_a, t_zero)
-                            loss_start = jnp.mean(d_zero ** 2)
-                            t_a = jnp.full((128, 1), 1.0 / 6.0)
-                            d_s = via_grid(p, "deform_grid_start", x_a, t_a)
-                            d_m = via_grid(p, "deform_grid_mid", x_a, t_a)
-                            loss_cons = jnp.mean((d_s - d_m) ** 2) * 0.1
-                            return (loss_start + loss_cons) \
-                                * static_anchor_weight * 16.0
-                        gate = jnp.logical_and(warm, step % 16 == 0)
-                        loss_anchor = jax.lax.cond(
-                            gate, a_loss, lambda: jnp.float32(0.0))
-
-                    total = (loss_rgb + loss_reg + loss_tv_disp
-                             + loss_tv_canon + loss_temporal + loss_unsup
-                             + loss_anchor)
-                    return total, (loss_rgb, loss_reg, loss_tv_disp,
-                                   loss_tv_canon, loss_temporal, loss_unsup,
-                                   loss_anchor)
-
-                (total, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = jax.tree.map(lambda a, u: a + u, params, updates)
-                return params, opt_state, total, aux
-            return train_step
+            return make_part4_train_step(
+                cfg, field, tx, data, H=H, W=W, focal=focal,
+                capacity=capacity, ray_budget=ray_budget, mesh=mesh)
 
         step_mask = make_step(None)
         train_ray_budget = cfg.get("train_ray_budget")

@@ -1,0 +1,119 @@
+"""Data-parallel training of the REAL recipes on the 8-virtual-device mesh.
+
+Round-1 left only part2's plain-MSE step sharded; these tests pin the full
+recipes: part2_instant (random bg + TV + grid skipping), part3 (5-term),
+part4 (7-term with cadenced regularizers) all step on an 8-device mesh with
+replicated params and a single grad pmean.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_tpu.data.blender import RayData
+from nerf_tpu.models import build_field
+from nerf_tpu.parallel.mesh import make_mesh
+from nerf_tpu.train.optimizers import build_optimizer
+from nerf_tpu.train.part4 import _lr_mult, make_part4_train_step
+
+
+def _tiny_data(rng_key, n_img=4, H=8, W=8, dynamic=True):
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(size=(n_img, H, W, 4)), jnp.float32)
+    poses = jnp.broadcast_to(jnp.eye(4), (n_img, 4, 4)).copy()
+    poses = poses.at[:, 0, 3].set(3.0)
+    times = jnp.linspace(0.0, 1.0, n_img) if dynamic else None
+    return RayData(images, poses, times), H, W
+
+
+P4_CFG = {
+    "mode": "part4", "n_levels": 4, "log2_hashmap_size": 10,
+    "deform_n_levels": 3, "deform_log2_hashmap_size": 9,
+    "hidden_dim": 16, "deform_hidden_dim": 16, "time_modulation_dim": 16,
+    "scene_bound": 1.5, "batch_size": 64, "n_samples": 8,
+    "grid_resolution": 8, "grid_warmup_iters": 0,
+    "use_unsupervised_consistency": True,
+}
+
+
+def test_part4_full_step_on_8_device_mesh(rng_key):
+    field = build_field(P4_CFG)
+    params = jax.jit(field.init)(rng_key)
+    data, H, W = _tiny_data(rng_key)
+    mesh = make_mesh(8)
+    tx = build_optimizer("adamw", 1e-2, 100, weight_decay=1e-5,
+                         eta_min=1e-4, max_grad_norm=1.0,
+                         lr_mult_fn=_lr_mult)
+    opt_state = tx.init(params)
+    step = make_part4_train_step(P4_CFG, field, tx, data, H=H, W=W,
+                                 focal=8.0, ray_budget=4, mesh=mesh)
+    binary = jnp.ones((8, 8, 8), jnp.bool_)
+    # the step donates params/opt_state; keep a copy for the comparison
+    p_in = jax.tree.map(jnp.copy, params)
+    p1, opt_state, total, aux = step(p_in, opt_state, rng_key,
+                                     jnp.int32(16), binary, use_grid=True)
+    assert np.isfinite(float(total))
+    assert len(aux) == 7
+    assert all(np.isfinite(float(a)) for a in aux)
+    # cadenced terms fire at step 16 (warm, step % 16 == 0)
+    assert float(aux[4]) != 0.0 or float(aux[6]) != 0.0
+    # params actually moved
+    moved = jax.tree.reduce(
+        lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+        jax.tree.map(lambda a, b: a - b, p1, params), 0.0)
+    assert moved > 0.0
+
+
+def test_part4_mesh_grads_match_single_device_in_expectation(rng_key):
+    """Same global batch, mesh vs single device: losses should be in the
+    same ballpark (different sampling keys, same distribution)."""
+    field = build_field(P4_CFG)
+    params = jax.jit(field.init)(rng_key)
+    data, H, W = _tiny_data(rng_key)
+    tx = build_optimizer("adamw", 1e-2, 100)
+    binary = jnp.ones((8, 8, 8), jnp.bool_)
+
+    losses = {}
+    for name, mesh in (("single", None), ("mesh", make_mesh(8))):
+        opt_state = tx.init(params)
+        step = make_part4_train_step(P4_CFG, field, tx, data, H=H, W=W,
+                                     focal=8.0, mesh=mesh)
+        _, _, total, _ = step(jax.tree.map(jnp.copy, params), opt_state,
+                              rng_key, jnp.int32(1), binary, use_grid=False)
+        losses[name] = float(total)
+    assert abs(losses["single"] - losses["mesh"]) < 0.5 * (
+        abs(losses["single"]) + 1e-3)
+
+
+@pytest.mark.parametrize("mode", ["part2_instant", "part3"])
+def test_trainer_cfg_mesh_devices_smoke(tmp_path, mode, rng_key):
+    """Drive run_part2_instant / run_part3 with mesh_devices=8 for a few
+    steps through the real CLI entry functions."""
+    import types
+    import yaml  # noqa: F401
+    from nerf_tpu.data.synthetic import make_synthetic_blender_scene
+    from nerf_tpu.train.part2_instant import run_part2_instant
+    from nerf_tpu.train.part3 import run_part3
+
+    scene = make_synthetic_blender_scene(
+        str(tmp_path / "scene"), n_train=4, n_val=2, n_test=2,
+        image_size=16, dynamic=(mode == "part3"))
+    cfg = {
+        "mode": mode, "n_levels": 4, "log2_hashmap_size": 9,
+        "hidden_dim": 16, "scene_bound": 1.5, "batch_size": 64,
+        "n_samples": 8, "render_n_samples": 8, "train_iters": 6,
+        "log_every": 3, "val_every": 100, "chunk": 256,
+        "grid_resolution": 8, "mesh_devices": 8,
+        "log_dir": str(tmp_path / "out"),
+        "canonical_type": "instant",
+        "deform_hidden_dim": 16, "deform_num_layers": 2,
+        "use_density_grid": False,
+    }
+    args = types.SimpleNamespace(
+        data_dir=scene, checkpoint=None, eval_only=False, render_n=0,
+        render_chunk=None, image=None)
+    if mode == "part2_instant":
+        run_part2_instant(cfg, args)
+    else:
+        run_part3(cfg, args)

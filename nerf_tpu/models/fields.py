@@ -59,6 +59,14 @@ class Field:
     # Encoder producing the sigma-net input (for render/bake.py): present on
     # fields whose decoder is the instant sigma/color pair.
     encode_for_bake: Optional[Callable] = None
+    # Render-time time specialization (part4): the tri-grid triangle
+    # interpolation is LINEAR in the tables, so for a single scalar t the
+    # three displacement tables blend into ONE (encode(sum_i w_i T_i, x) ==
+    # sum_i w_i encode(T_i, x)), halving the hash fields per render point.
+    # `blended_field` is the Field that renders blended params;
+    # `blend_params(params, t) -> params'` computes them (cheap, per frame).
+    blended_field: Optional["Field"] = None
+    blend_params: Optional[Callable] = None
 
 
 def _hash_spec_from_cfg(cfg: dict, prefix: str = "",
@@ -402,6 +410,44 @@ def _build_part4(cfg: dict) -> Field:
                                              h.astype(cd), fd.astype(cd))
         return rgb, sigma, delta_x
 
+    # ---- render-time tri-grid blending (eval only) -----------------------
+    # For one scalar t the triangle-weighted sum of three encodes equals a
+    # single encode of the weight-blended table (trilinear interpolation
+    # and the level concat are linear in table entries; the three grids
+    # share one spec so their brick/hash indexing is identical). This
+    # halves the hash fields per render point: 3 deform + 1 canonical -> 2.
+    def blend_params(params, t_scalar):
+        t_val = jnp.reshape(jnp.asarray(t_scalar, jnp.float32), (1, 1))
+        w = _tri_weights(t_val)[0]                       # [3]
+        blended = (w[0] * params["deform_grid_start"]
+                   + w[1] * params["deform_grid_mid"]
+                   + w[2] * params["deform_grid_end"])
+        return {"deform_grid_blend": blended,
+                "time_modulation": params["time_modulation"],
+                "deform_decoder": params["deform_decoder"],
+                "canonical_repr": params["canonical_repr"],
+                "decoder": params["decoder"]}
+
+    def apply_blended(params, x, d=None, t=None, *, train=False, rng=None,
+                      max_level=None):
+        ft = fourier_encode(t, L_time)
+        tmod = D.time_modulation_apply(params["time_modulation"], ft)
+        feat = hash_encode(params["deform_grid_blend"], x, deform_spec)
+        delta_x = D.hash_deform_decoder_apply(params["deform_decoder"],
+                                              feat, tmod)
+        x_canonical = x + delta_x
+        feat_can = hash_encode(params["canonical_repr"], x_canonical,
+                               canon_spec, max_level=max_level)
+        fd = fourier_encode(d, L_dir)
+        h = jnp.concatenate([feat_can, ft], axis=-1)
+        rgb, sigma = D.instant_decoder_apply(params["decoder"],
+                                             h.astype(cd), fd.astype(cd))
+        return rgb, sigma, delta_x
+
+    blended_field = Field(mode="part4_blended", init=None,
+                          apply=apply_blended,
+                          needs_dirs=True, needs_time=True)
+
     return Field(
         mode="part4", init=init, apply=apply,
         needs_dirs=True, needs_time=True,
@@ -413,4 +459,6 @@ def _build_part4(cfg: dict) -> Field:
                "canonical_repr": canon_spec},
         deform_delta=_deform,
         deform_delta_via_grid=deform_delta_via_grid,
+        blended_field=blended_field,
+        blend_params=jax.jit(blend_params),
     )

@@ -254,8 +254,12 @@ def hash_encode_exact(table: jnp.ndarray, x: jnp.ndarray,
             res, offset = ro
             return level_feats(res, offset, False).T        # [F, N]
 
+        # unroll=False: the exact impl is the quality-reference/A-B path,
+        # not the hot path — its 8-gathers-per-level graph is ~8x the brick
+        # impl's and unrolling it made remote TPU compiles pathologically
+        # slow (>45 min at 16 levels).
         _, ys = jax.lax.scan(lambda _, ro: (None, _one(ro)), None,
-                             (res_arr, off_arr), unroll=True)
+                             (res_arr, off_arr), unroll=False)
         feats.append(ys.reshape(len(hashed_lvls) * f, n).T)
 
     if lmax < spec.n_levels:

@@ -45,15 +45,42 @@ class ImageRenderer:
                  interval_block: int = 4, interval_probes: int = 128,
                  interval_dilate: int = 1,
                  fine_mask: bool = True,
-                 max_level: Optional[int] = None):
+                 max_level: Optional[int] = None,
+                 blend: Optional[callable] = None,
+                 mesh=None, mesh_axis: str = "data"):
         self.field = field
         self.grid_spec = grid_spec
+        # Per-frame parameter specialization (part4 tri-grid blending):
+        # blend(params, t) -> params' is applied before rendering, so pass
+        # `field.blended_field` as the field together with
+        # `field.blend_params` as blend.
+        self._blend = blend
         if sampling not in ("dense", "interval"):
             raise ValueError(f"unknown sampling mode: {sampling}")
         self.sampling = sampling
+        # Multi-chip eval: rays shard over the mesh (the embarrassingly
+        # parallel axis), params/grid replicated, no collectives — each
+        # chip renders its slice and the result is already sharded-correct.
+        self._mesh = mesh
+        self._n_dev = mesh.shape[mesh_axis] if mesh is not None else 1
 
-        @partial(jax.jit, static_argnames=())
-        def _render(params, rays_o, rays_d, time_scalar, grid_binary, bg):
+        def _shard_rays(fn, n_ray_args):
+            """Wrap `fn(params, *ray_args, *rest)` to shard ray args on
+            axis 0 across the mesh (callers pre-pad to a multiple)."""
+            if mesh is None:
+                return fn
+            from jax.sharding import PartitionSpec as P
+            ray_spec = P(mesh_axis)
+            def wrapped(params, *args):
+                in_specs = (P(),) + (ray_spec,) * n_ray_args \
+                    + (P(),) * (len(args) - n_ray_args)
+                return jax.shard_map(
+                    fn, mesh=mesh, in_specs=in_specs,
+                    out_specs=ray_spec, check_vma=False)(params, *args)
+            return wrapped
+
+        def _render_flat(params, rays_o, rays_d, time_scalar, grid_binary,
+                         bg):
             return render_image(
                 field, params, rays_o, rays_d,
                 near=near, far=far, n_samples=n_samples, chunk=chunk,
@@ -61,24 +88,51 @@ class ImageRenderer:
                 grid_spec=grid_spec, bg_color=bg, capacity=capacity,
                 ray_budget=ray_budget, max_level=max_level)
 
-        @partial(jax.jit, static_argnames=())
-        def _render_interval(params, rays_o_img, rays_d_img, time_scalar,
-                             grid_binary, bg):
-            from ..render.intervals import image_intervals
-            t0, t1 = image_intervals(
-                grid_binary, grid_spec, rays_o_img, rays_d_img, near, far,
-                block=interval_block, n_probe=interval_probes,
-                dilate=interval_dilate)
+        def _render_flat_iv(params, rays_o, rays_d, t0, t1, time_scalar,
+                            grid_binary, bg):
             # fine_mask=False skips the per-sample occupancy lookup — for
             # baked fields, whose bake already folds pruning into sigma.
             return render_image(
-                field, params, rays_o_img.reshape(-1, 3),
-                rays_d_img.reshape(-1, 3),
+                field, params, rays_o, rays_d,
                 near=near, far=far, n_samples=n_samples, chunk=chunk,
                 time_scalar=time_scalar,
                 grid_binary=grid_binary if fine_mask else None,
                 grid_spec=grid_spec, bg_color=bg,
-                t0=t0.reshape(-1), t1=t1.reshape(-1), max_level=max_level)
+                t0=t0, t1=t1, max_level=max_level)
+
+        sharded_flat = _shard_rays(_render_flat, 2)
+        sharded_flat_iv = _shard_rays(_render_flat_iv, 4)
+        pad_to = self._n_dev * chunk if mesh is not None else chunk
+
+        @partial(jax.jit, static_argnames=())
+        def _render(params, rays_o, rays_d, time_scalar, grid_binary, bg):
+            n = rays_o.shape[0]
+            pad = -n % pad_to
+            ro = jnp.pad(rays_o, ((0, pad), (0, 0)))
+            rd = jnp.pad(rays_d, ((0, pad), (0, 0)), constant_values=1.0)
+            rgb = sharded_flat(params, ro, rd, time_scalar, grid_binary, bg)
+            return rgb[:n]
+
+        @partial(jax.jit, static_argnames=())
+        def _render_interval(params, rays_o_img, rays_d_img, time_scalar,
+                             grid_binary, bg):
+            from ..render.intervals import image_intervals
+            # Interval maps are computed replicated (block-coarse: cheap);
+            # only the per-ray rendering shards.
+            t0, t1 = image_intervals(
+                grid_binary, grid_spec, rays_o_img, rays_d_img, near, far,
+                block=interval_block, n_probe=interval_probes,
+                dilate=interval_dilate)
+            n = rays_o_img.shape[0] * rays_o_img.shape[1]
+            pad = -n % pad_to
+            ro = jnp.pad(rays_o_img.reshape(-1, 3), ((0, pad), (0, 0)))
+            rd = jnp.pad(rays_d_img.reshape(-1, 3), ((0, pad), (0, 0)),
+                         constant_values=1.0)
+            t0p = jnp.pad(t0.reshape(-1), (0, pad))
+            t1p = jnp.pad(t1.reshape(-1), (0, pad))
+            rgb = sharded_flat_iv(params, ro, rd, t0p, t1p, time_scalar,
+                                  grid_binary, bg)
+            return rgb[:n]
 
         self._render = _render
         self._render_interval = _render_interval
@@ -88,6 +142,8 @@ class ImageRenderer:
         h_w = rays_o.shape[:-1]
         t = None if not self.field.needs_time else jnp.float32(
             0.0 if time is None else time)
+        if self._blend is not None and t is not None:
+            params = self._blend(params, t)
         bg = jnp.ones((3,), jnp.float32) if bg_color is None \
             else jnp.asarray(bg_color, jnp.float32)
         if (self.sampling == "interval" and grid_binary is not None

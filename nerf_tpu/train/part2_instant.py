@@ -340,18 +340,22 @@ def run_part2_instant(cfg: dict, args) -> None:
 
     # ---------------------------------------------------------------- eval
     binary = grid_state["binary"] if grid_state is not None else None
+    eval_mesh = None
+    if cfg.get("mesh_devices", 1) > 1:
+        from ..parallel.mesh import make_mesh
+        eval_mesh = make_mesh(cfg["mesh_devices"])
     if binary is not None:
         renderer = ImageRenderer(
             field, near=near, far=far,
             n_samples=cfg.get("render_ray_budget", 32),
             chunk=min(chunk, 65536), grid_spec=grid_spec,
             sampling="interval",
-            max_level=cfg.get("render_max_level"))
+            max_level=cfg.get("render_max_level"), mesh=eval_mesh)
     else:
         renderer = ImageRenderer(field, near=near, far=far,
                                  n_samples=render_n_samples,
                                  chunk=min(chunk, 32768),
-                                 grid_spec=grid_spec)
+                                 grid_spec=grid_spec, mesh=eval_mesh)
 
     if args.eval_only:
         if args.render_n == -1:

@@ -406,11 +406,19 @@ def _part3_eval(cfg, args, field, params, grid_state, grid_spec,
             and active_ratio < switch_ratio:
         eval_capacity = max(4096, int(chunk * render_n_samples
                                       * cap_frac) // 1024 * 1024)
-    renderer = ImageRenderer(field, near=near, far=far,
+    # part4: render through the tri-grid-blended field (2 hash fields per
+    # point instead of 4; the blend is exact for one scalar t per frame).
+    render_field = field.blended_field or field
+    blend = field.blend_params
+    eval_mesh = None
+    if cfg.get("mesh_devices", 1) > 1:
+        from ..parallel.mesh import make_mesh
+        eval_mesh = make_mesh(cfg["mesh_devices"])
+    renderer = ImageRenderer(render_field, near=near, far=far,
                              n_samples=render_n_samples, chunk=chunk,
                              grid_spec=grid_spec, capacity=eval_capacity,
                              ray_budget=ray_budget if binary is not None
-                             else None)
+                             else None, blend=blend, mesh=eval_mesh)
     picture_dir = os.path.join(log_dir, "picture")
     os.makedirs(picture_dir, exist_ok=True)
 

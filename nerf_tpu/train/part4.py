@@ -376,9 +376,10 @@ def run_part4(cfg: dict, args) -> None:
         print(f">>> tensorboard --logdir="
               f"{os.path.join(log_dir, 'tensorboard')}")
 
-        val_renderer = ImageRenderer(field, near=near, far=far,
-                                     n_samples=render_n_samples, chunk=chunk,
-                                     grid_spec=grid_spec)
+        val_renderer = ImageRenderer(field.blended_field, near=near,
+                                     far=far, n_samples=render_n_samples,
+                                     chunk=chunk, grid_spec=grid_spec,
+                                     blend=field.blend_params)
         best_val_psnr = 0.0
         rng = key
         timer = StepTimer(batch_size)
@@ -490,7 +491,8 @@ def run_part4(cfg: dict, args) -> None:
                 and active_ratio < switch_ratio:
             eval_capacity = max(4096, int(chunk * render_n_samples
                                           * cap_frac) // 1024 * 1024)
-        renderer = ImageRenderer(field, near=near, far=far,
+        renderer = ImageRenderer(field.blended_field, near=near, far=far,
+                                 blend=field.blend_params,
                                  n_samples=render_n_samples, chunk=chunk,
                                  grid_spec=grid_spec, capacity=eval_capacity,
                                  ray_budget=ray_budget if binary is not None

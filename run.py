@@ -11,8 +11,18 @@ unmodified.
 """
 
 import argparse
+import os
 
 import yaml
+
+# Honor JAX_PLATFORMS from the environment. Some images pin the platform in
+# sitecustomize during plugin registration, which silently overrides the
+# user's `JAX_PLATFORMS=cpu python run.py ...`; re-asserting via the config
+# API (before any backend touch) restores the standard JAX contract.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 
 def main():

@@ -98,3 +98,30 @@ def test_train_noise_changes_output_only_in_train(rng_key):
     tr_a = field.apply(params, x, x, t, train=True, rng=k1)
     tr_b = field.apply(params, x, x, t, train=True, rng=k2)
     assert float(jnp.abs(tr_a[0] - tr_b[0]).max()) > 0.0
+
+
+def test_part4_blended_field_matches_full_apply(rng_key):
+    """For one scalar t, rendering through the tri-grid-blended params must
+    equal the full triangle-weighted three-grid apply (the encode is linear
+    in the table entries)."""
+    cfg = {"mode": "part4", "n_levels": 4, "log2_hashmap_size": 10,
+           "deform_n_levels": 3, "deform_log2_hashmap_size": 9,
+           "hidden_dim": 16, "deform_hidden_dim": 16,
+           "time_modulation_dim": 16, "scene_bound": 1.5}
+    field = build_field(cfg)
+    params = jax.jit(field.init)(rng_key)
+    n = 64
+    x = jax.random.uniform(rng_key, (n, 3), jnp.float32, -1.2, 1.2)
+    d = jax.random.normal(rng_key, (n, 3))
+
+    for t_scalar in (0.0, 0.23, 0.5, 0.77, 1.0):
+        t = jnp.full((n, 1), t_scalar, jnp.float32)
+        rgb_f, sig_f, dx_f = field.apply(params, x, d, t)
+        bp = field.blend_params(params, jnp.float32(t_scalar))
+        rgb_b, sig_b, dx_b = field.blended_field.apply(bp, x, d, t)
+        np.testing.assert_allclose(np.asarray(dx_b), np.asarray(dx_f),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(sig_b), np.asarray(sig_f),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rgb_b), np.asarray(rgb_f),
+                                   rtol=1e-3, atol=1e-3)

@@ -117,3 +117,34 @@ def test_trainer_cfg_mesh_devices_smoke(tmp_path, mode, rng_key):
         run_part2_instant(cfg, args)
     else:
         run_part3(cfg, args)
+
+
+def test_sharded_eval_rendering_matches_single_device(rng_key):
+    """ImageRenderer with a mesh shards rays across 8 virtual devices and
+    must reproduce the single-device image (same math, no collectives)."""
+    from nerf_tpu.render.density_grid import DensityGridSpec
+    from nerf_tpu.render.rays import camera_directions, rays_from_pose
+    from nerf_tpu.train.common import ImageRenderer
+
+    cfg = {"mode": "part2_instant", "n_levels": 4, "log2_hashmap_size": 10,
+           "hidden_dim": 16, "scene_bound": 1.5}
+    field = build_field(cfg)
+    params = jax.jit(field.init)(rng_key)
+    spec = DensityGridSpec(resolution=16, bound=1.5, threshold=0.01)
+    lin = np.linspace(-1.5, 1.5, 16, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
+    binary = jnp.asarray((xx**2 + yy**2 + zz**2) < 0.8**2)
+
+    H = W = 24
+    dirs = camera_directions(H, W, 0.5 * W / np.tan(0.35))
+    pose = jnp.eye(4).at[0, 3].set(3.0).at[:3, :3].set(
+        jnp.asarray([[0., 0., 1.], [0., 1., 0.], [-1., 0., 0.]]))
+    ro, rd = rays_from_pose(dirs, pose)
+
+    kw = dict(near=1.0, far=5.0, n_samples=24, chunk=64, grid_spec=spec,
+              sampling="interval", interval_probes=64)
+    single = ImageRenderer(field, **kw)(params, ro, rd, grid_binary=binary)
+    sharded = ImageRenderer(field, mesh=make_mesh(8), **kw)(
+        params, ro, rd, grid_binary=binary)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-4, atol=1e-5)

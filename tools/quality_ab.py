@@ -1,0 +1,159 @@
+"""Quality/speed A/B harness for the render paths on a TRAINED checkpoint.
+
+Measures, on the same checkpoint (so speed and quality come from one
+artifact):
+  * test-set PSNR of: dense masked rendering (the semantics baseline),
+    interval sampling at several per-ray budgets, render-time LOD levels,
+    and the baked field at several resolutions;
+  * 800x800 render FPS for each variant (orbit poses, tunnel-safe timing).
+
+Usage:
+  python tools/quality_ab.py --ckpt output/part2_instant/lego_proxy/best_model.pth \
+      --data_dir /tmp/lego_proxy [--n_images 8] [--out AB_RESULTS.md]
+
+Writes a markdown table and prints it.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def psnr_over_split(renderer, params, dataset, indices, binary):
+    from nerf_tpu.utils.metrics import compute_psnr
+    ps = []
+    for i in indices:
+        rays_o, rays_d, target = dataset.get_image_rays(i)
+        pred = renderer(params, rays_o, rays_d, grid_binary=binary)
+        pred = jnp.clip(pred, 0.0, 1.0)
+        mse = float(jnp.mean((pred - target) ** 2))
+        ps.append(compute_psnr(mse))
+    return float(np.mean(ps))
+
+
+def fps_at_800(renderer, params, binary, n_frames=3):
+    from nerf_tpu.render.rays import (camera_directions, orbit_poses,
+                                      rays_from_pose)
+    H = W = 800
+    poses = orbit_poses(n_frames + 1, radius=4.0, center=[0, 0, 0],
+                        height=1.0)
+    dirs = camera_directions(H, W, 0.5 * W / np.tan(0.4))
+    make_rays = jax.jit(lambda p: rays_from_pose(dirs, p))
+    rays = [make_rays(jnp.asarray(p)) for p in poses]
+    digest = jax.jit(lambda *im: sum(jnp.sum(i[::63, ::63]) for i in im))
+    img = renderer(params, rays[0][0], rays[0][1], grid_binary=binary)
+    float(digest(img))
+    t0 = time.perf_counter()
+    frames = [renderer(params, rays[i][0], rays[i][1], grid_binary=binary)
+              for i in range(1, 1 + n_frames)]
+    float(digest(*frames))
+    return n_frames / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--n_images", type=int, default=8)
+    ap.add_argument("--out", default="AB_RESULTS.md")
+    ap.add_argument("--fps", action="store_true",
+                    help="also measure 800x800 FPS per variant")
+    args = ap.parse_args()
+
+    from nerf_tpu.data.blender import BlenderDataset
+    from nerf_tpu.models import build_field
+    from nerf_tpu.render.bake import (BakedSpec, bake_instant_field,
+                                      build_baked_field)
+    from nerf_tpu.render.density_grid import DensityGridSpec
+    from nerf_tpu.train.common import ImageRenderer
+    from nerf_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(args.ckpt)
+    cfg = ckpt["config"]
+    field = build_field(cfg)
+    params = jax.tree.map(jnp.asarray, ckpt["model_state_dict"])
+    grid_state = jax.tree.map(jnp.asarray, ckpt["density_grid"]) \
+        if "density_grid" in ckpt else None
+    binary = grid_state["binary"] if grid_state else None
+    grid_spec = DensityGridSpec(cfg.get("grid_resolution", 128),
+                                cfg.get("scene_bound", 1.5),
+                                cfg.get("grid_threshold", 0.01))
+    near, far = float(cfg.get("near", 2.0)), float(cfg.get("far", 6.0))
+    n_samples = cfg.get("render_n_samples", cfg.get("n_samples", 128))
+    L_dir = cfg.get("L_embed_dir", 4)
+
+    test_set = BlenderDataset(args.data_dir, "test",
+                              cfg.get("downscale", 1),
+                              cfg.get("white_bkgd", True),
+                              cfg.get("scene_scale", 1.0))
+    idxs = list(range(min(args.n_images, len(test_set))))
+    print(f">>> checkpoint step {ckpt.get('step')} | "
+          f"active ratio {float(binary.mean()):.3f} | "
+          f"{len(idxs)} test images at {test_set.W}x{test_set.H}")
+
+    rows = []
+
+    def add(name, renderer, p=params):
+        psnr = psnr_over_split(renderer, p, test_set, idxs, binary)
+        fps = fps_at_800(renderer, p, binary) if args.fps else float("nan")
+        rows.append((name, psnr, fps))
+        print(f"{name:44s}  PSNR {psnr:6.2f} dB   FPS {fps:6.2f}")
+
+    common = dict(near=near, far=far, chunk=65536, grid_spec=grid_spec)
+
+    # 1. dense masked baseline (exact reference semantics)
+    add("dense masked, S=128",
+        ImageRenderer(field, n_samples=n_samples, **common))
+
+    # 2. interval sampling, budget sweep
+    for k in (16, 24, 32, 48):
+        add(f"interval k={k}",
+            ImageRenderer(field, n_samples=k, sampling="interval", **common))
+
+    # 3. LOD sweep at k=32
+    n_levels = cfg.get("n_levels", 16)
+    for ml in (n_levels - 6, n_levels - 4, n_levels - 2):
+        add(f"interval k=32, max_level={ml}",
+            ImageRenderer(field, n_samples=32, sampling="interval",
+                          max_level=ml, **common))
+
+    # 4. baked field sweep
+    for res in (256, 384, 512):
+        bspec = BakedSpec(resolution=res, bound=cfg.get("scene_bound", 1.5))
+        t0 = time.perf_counter()
+        baked = bake_instant_field(field, params, bspec,
+                                   grid_binary=binary, grid_spec=grid_spec)
+        jax.block_until_ready(baked["t0"])
+        float(jnp.sum(baked["t0"][:1].astype(jnp.float32)))
+        bake_s = time.perf_counter() - t0
+        bfield = build_baked_field(bspec, L_dir=L_dir)
+        print(f"    bake {res}^3: {bake_s:.1f} s, "
+              f"{baked['t0'].nbytes * 2 / 1e9:.2f} GB")
+        add(f"baked {res}^3 bf16, interval k=32",
+            ImageRenderer(bfield, n_samples=32, sampling="interval",
+                          fine_mask=False, **common), p=baked)
+
+    lines = ["| render path | test PSNR (dB) | 800x800 FPS |",
+             "|---|---|---|"]
+    for name, psnr, fps in rows:
+        fps_s = f"{fps:.2f}" if np.isfinite(fps) else "-"
+        lines.append(f"| {name} | {psnr:.2f} | {fps_s} |")
+    table = "\n".join(lines)
+    with open(args.out, "w") as f:
+        f.write(f"# Render-path quality/speed A/B\n\n"
+                f"Checkpoint: `{args.ckpt}` (step {ckpt.get('step')}) on "
+                f"`{args.data_dir}`, {len(idxs)} test images at "
+                f"{test_set.W}x{test_set.H}.\n\n" + table + "\n")
+    print(table)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,11 +78,19 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
     """Evaluate the sigma net on every voxel vertex and pack brick rows.
 
     Returns baked params: {"t0": [nb,512], "t1": [nb,512] (dtype),
-    "color_net": ..., "L_dir": int} — consumable by `build_baked_field`.
+    "qscale"/"qzero": [16] fp32 (int8 only), "color_net": ...} —
+    consumable by `build_baked_field`.
 
     When `grid_binary` is given, vertices in pruned voxels bake
     h[0] = -20 so empty space renders empty without any per-sample grid
     lookup at render time.
+
+    `dtype=jnp.int8` stores per-channel affine-quantized rows: 512-lane
+    int8 rows are 512 B — the measured v5e gather descriptor rate is ~2x
+    the 1 KB bf16 rows', halving the dominant render cost. Quantization is
+    per channel ((max-min)/254 step over the baked volume); trilinear
+    interpolation commutes with the affine map, so dequantization happens
+    once after extraction.
     """
     r = spec.resolution
     dec = params["decoder"]
@@ -103,6 +111,9 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
     # Evaluate per x-plane (r^2 points each) and keep the dense volume in
     # the table dtype: a 512^3 fp32 intermediate would be 8.6 GB; bf16
     # halves it and the packing below streams in brick slabs.
+    quantize = dtype == jnp.int8
+    store_dtype = jnp.bfloat16 if quantize else dtype
+
     @jax.jit
     def plane(xv):
         yy, zz = jnp.meshgrid(lin, lin, indexing="ij")
@@ -113,9 +124,18 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
         pad = n_chunks * chunk - n
         pts_p = jnp.pad(pts, ((0, pad), (0, 0))).reshape(n_chunks, chunk, 3)
         h = jax.lax.map(h_at, pts_p).reshape(-1, _N_CH)[:n]
-        return h.reshape(r, r, _N_CH).astype(dtype)
+        h = h.reshape(r, r, _N_CH)
+        ext = jnp.stack([h.min(axis=(0, 1)), h.max(axis=(0, 1))])
+        return h.astype(store_dtype), ext
 
-    dense = jax.lax.map(plane, lin)                        # [R,R,R,16]
+    dense, exts = jax.lax.map(plane, lin)                  # [R,R,R,16]
+
+    qscale = qzero = None
+    if quantize:
+        lo = exts[:, 0].min(axis=0).astype(jnp.float32)    # [16]
+        hi = exts[:, 1].max(axis=0).astype(jnp.float32)
+        qzero = (hi + lo) / 2.0
+        qscale = jnp.maximum((hi - lo) / 254.0, 1e-8)
 
     # Pack overlapping bricks: vertex v of brick b sits at 3b + v (clipped).
     # Streamed over the x brick axis to bound peak memory.
@@ -130,6 +150,9 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
         slab = dense[xi]                                   # [4, R, R, 16]
         g = slab[:, vidx][:, :, :, vidx]                   # [4,nb,4,nb,4,16]
         g = g.transpose(1, 3, 0, 2, 4, 5)                  # [nb,nb,4,4,4,16]
+        if quantize:
+            q = (g.astype(jnp.float32) - qzero) / qscale
+            g = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
         g = g.reshape(nb * nb, _BRICK_V ** 3, _N_CH)
         return (g[..., :_CH_PER_TABLE].reshape(nb * nb, _LANES),
                 g[..., _CH_PER_TABLE:].reshape(nb * nb, _LANES))
@@ -137,6 +160,7 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
     t0, t1 = jax.lax.map(pack_slab, jnp.arange(nb))
     return {"t0": t0.reshape(spec.n_bricks, _LANES),
             "t1": t1.reshape(spec.n_bricks, _LANES),
+            "qscale": qscale, "qzero": qzero,
             "color_net": dec["color_net"]}
 
 
@@ -184,7 +208,12 @@ def baked_h(baked: dict, x: jnp.ndarray, spec: BakedSpec) -> jnp.ndarray:
         rows = jnp.take(baked[key], row, axis=0, mode="clip") \
             .astype(jnp.float32)
         outs.append(_baked_extract(rows, q, frac))
-    return jnp.concatenate(outs, axis=-1)                  # [N, 16]
+    h = jnp.concatenate(outs, axis=-1)                     # [N, 16]
+    if baked.get("qscale") is not None:
+        # Per-channel affine dequantization (int8 tables); the trilinear
+        # weights sum to 1, so interp-then-dequant is exact.
+        h = h * baked["qscale"][None, :] + baked["qzero"][None, :]
+    return h
 
 
 def build_baked_field(spec: BakedSpec, L_dir: int = 4,

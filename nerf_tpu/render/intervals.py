@@ -87,6 +87,91 @@ def _pool2d(x: jnp.ndarray, op, size: int, init) -> jnp.ndarray:
         window_strides=(1, 1), padding="SAME")
 
 
+def tile_occupancy(binary: jnp.ndarray, spec: DensityGridSpec,
+                   rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                   near: float, far: float, n_probe: int) -> jnp.ndarray:
+    """Occupancy of `n_probe` equal z-bins (tested at bin centers) per ray.
+
+    Args:
+      binary: occupancy volume (pre-dilated for conservativeness).
+      rays_o/rays_d: [R, 3].
+    Returns occ [R, n_probe] bool.
+    """
+    n_rays = rays_o.shape[0]
+    dbin = (far - near) / n_probe
+    z = near + (jnp.arange(n_probe, dtype=jnp.float32) + 0.5) * dbin
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[None, :, None]
+    return grid_active_mask(binary, pts.reshape(-1, 3), spec) \
+        .reshape(n_rays, n_probe)
+
+
+def image_occupancy_cdf(binary: jnp.ndarray, spec: DensityGridSpec,
+                        rays_o: jnp.ndarray, rays_d: jnp.ndarray,
+                        near: float, far: float, k: int, *,
+                        block: int = 4, n_probe: int = 128,
+                        dilate: int = 1):
+    """Per-pixel inverse-CDF sample placement over OCCUPIED z-bins.
+
+    The single-interval scheme (image_intervals) spends its budget uniformly
+    over the convex hull [t_enter, t_exit]; on scenes whose occupied set has
+    gaps along the ray (separate objects, ground plane + floating parts) that
+    wastes most samples on free space and was measured to cost 2-6 dB at
+    k<=32. Here the budget is instead distributed evenly over the occupancy
+    MEASURE: sample j of k sits at the (j+0.5)/k quantile of the cumulative
+    occupied-bin count, so free-space bins receive no samples at all and a
+    ray whose occupied set spans <= k bins is sampled at least as densely as
+    the dense S=n_probe reference path.
+
+    Probing stays block-coarse (one probe ray per `block`^2 tile, occupancy
+    unioned over the 3x3 tile neighborhood, grid pre-dilated) — the same
+    conservativeness argument as image_intervals.
+
+    Returns (idx [H, W, k] int32 occupied-bin index per sample,
+             n_occ [H, W] float32 occupied-bin count,
+             occ_far [H, W] bool — last bin occupied (catch-all dist)).
+    z values follow as near + (idx + u) * dbin with dbin = (far-near)/n_probe
+    and u in [0,1); per-sample dist is n_occ * dbin / k.
+    """
+    h, w = rays_o.shape[:2]
+    off = block // 2
+    oc = rays_o[off::block, off::block]
+    dc = rays_d[off::block, off::block]
+    hc, wc = oc.shape[:2]
+
+    bd = dilate_binary(binary, dilate)
+    occ = tile_occupancy(bd, spec, oc.reshape(-1, 3), dc.reshape(-1, 3),
+                         near, far, n_probe).reshape(hc, wc, n_probe)
+    # Union over the 3x3 tile neighborhood, per z-bin.
+    occ = jax.lax.reduce_window(
+        occ.astype(jnp.float32), -jnp.inf, jax.lax.max,
+        window_dimensions=(3, 3, 1), window_strides=(1, 1, 1),
+        padding="SAME") > 0.0
+
+    c = jnp.cumsum(occ.astype(jnp.float32), axis=-1)     # [hc, wc, P]
+    n_occ = c[..., -1]                                   # [hc, wc]
+    # Quantile targets u_j = (j+.5)/k * n_occ; bin index = #{c < u_j}.
+    # k separate compare+reduce passes keep the peak memory at [hc,wc,P].
+    cols = []
+    for j in range(k):
+        u = (j + 0.5) / k * n_occ
+        cols.append(jnp.sum((c < u[..., None]).astype(jnp.int32), axis=-1))
+    idx = jnp.stack(cols, axis=-1)                       # [hc, wc, k]
+    idx = jnp.minimum(idx, n_probe - 1).astype(jnp.int32)
+
+    occ_far = occ[..., -1]
+
+    def up(x):
+        x = jnp.repeat(jnp.repeat(x, block, axis=0), block, axis=1)
+        x = x[:h, :w]
+        pad_h, pad_w = h - x.shape[0], w - x.shape[1]
+        if pad_h > 0 or pad_w > 0:
+            pad = [(0, pad_h), (0, pad_w)] + [(0, 0)] * (x.ndim - 2)
+            x = jnp.pad(x, pad, mode="edge")
+        return x
+
+    return up(idx), up(n_occ), up(occ_far)
+
+
 def image_intervals(binary: jnp.ndarray, spec: DensityGridSpec,
                     rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                     near: float, far: float, *,

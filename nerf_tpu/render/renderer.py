@@ -355,6 +355,100 @@ def render_rays_interval(
     return rgb_map, depth_map, acc_map, extras
 
 
+def render_rays_cdf(
+    field,
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    *,
+    idx: jnp.ndarray,
+    n_occ: jnp.ndarray,
+    occ_far: jnp.ndarray,
+    near: float,
+    far: float,
+    n_probe: int,
+    perturb: bool = False,
+    rng: Optional[jax.Array] = None,
+    times: Optional[jnp.ndarray] = None,
+    grid_binary: Optional[jnp.ndarray] = None,
+    grid_spec: Optional[DensityGridSpec] = None,
+    bg_color: Optional[jnp.ndarray] = None,
+    train: bool = False,
+    max_level: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
+    """Render rays at precomputed occupancy-CDF sample bins
+    (render/intervals.py::image_occupancy_cdf).
+
+    Args:
+      idx: [R, k] int32 — occupied z-bin per sample.
+      n_occ: [R] — occupied-bin count (0 -> pure background ray).
+      occ_far: [R] bool — ray occupied through the far plane (the dense
+        path's 1e10 catch-all dist applies to the last sample then,
+        reference: src/renderer.py:213-215).
+
+    Each sample represents n_occ/k bins of occupied space, so the per-sample
+    dist is n_occ * dbin / k — the compositing integral preserves optical
+    depth over the occupied set while free-space bins (alpha = 0 in the
+    dense masked path) are never evaluated.
+    """
+    n_rays, k = idx.shape
+    dynamic = field.needs_time
+    if bg_color is None:
+        bg_color = jnp.ones((3,), jnp.float32)
+    dbin = (far - near) / n_probe
+
+    if perturb:
+        u = jax.random.uniform(rng, idx.shape, jnp.float32)
+    else:
+        u = 0.5
+    z = near + (idx.astype(jnp.float32) + u) * dbin          # [R, k]
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    view_dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    view_dirs = jnp.broadcast_to(view_dirs[:, None, :], (n_rays, k, 3))
+
+    n_pts = n_rays * k
+    pts_flat = pts.reshape(n_pts, 3)
+    dirs_flat = view_dirs.reshape(n_pts, 3)
+    times_flat = None
+    if dynamic:
+        if times is None:
+            times = jnp.zeros((n_rays, 1), jnp.float32)
+        times_flat = jnp.broadcast_to(
+            times[:, None, :], (n_rays, k, 1)).reshape(n_pts, 1)
+
+    if dynamic:
+        rgb, sigma, delta = field.apply(params, pts_flat, dirs_flat,
+                                        times_flat, train=train, rng=rng,
+                                        max_level=max_level)
+    else:
+        rgb, sigma = field.apply(params, pts_flat, dirs_flat,
+                                 train=train, rng=rng, max_level=max_level)
+        delta = None
+
+    rgb = rgb.astype(jnp.float32).reshape(n_rays, k, 3)
+    sigma = sigma.astype(jnp.float32).reshape(n_rays, k)
+    sigma = sigma * (n_occ > 0).astype(jnp.float32)[:, None]
+    if grid_binary is not None:
+        fine = grid_active_mask(grid_binary, pts_flat, grid_spec)
+        sigma = sigma * fine.reshape(n_rays, k).astype(jnp.float32)
+
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    dist = (n_occ * dbin / k)[:, None]                       # [R, 1]
+    dists = jnp.broadcast_to(dist, (n_rays, k))
+    last = jnp.where(occ_far, 1e10, dists[:, -1])
+    dists = jnp.concatenate([dists[:, :-1], last[:, None]], axis=1) * norm
+
+    rgb_map, depth_map, acc_map, weights = composite(
+        rgb, sigma, z, rays_d, bg_color=bg_color, dists=dists)
+
+    extras = {}
+    if dynamic and delta is not None:
+        delta = delta.astype(jnp.float32).reshape(n_rays, k, 3)
+        extras["mean_delta_x"] = jnp.sum(weights[..., None] * delta, axis=1)
+    return rgb_map, depth_map, acc_map, extras
+
+
 def render_image(
     field,
     params,
@@ -373,6 +467,8 @@ def render_image(
     ray_budget: Optional[int] = None,
     t0: Optional[jnp.ndarray] = None,
     t1: Optional[jnp.ndarray] = None,
+    cdf: Optional[tuple] = None,
+    n_probe: int = 128,
     max_level: Optional[int] = None,
 ) -> jnp.ndarray:
     """Render all given rays without perturbation, chunked via `lax.map`.
@@ -382,6 +478,9 @@ def render_image(
       chunk: rays per chunk (static).
       t0/t1: optional [N] per-ray occupied intervals (from
         render.intervals.image_intervals) — switches to interval sampling.
+      cdf: optional (idx [N,k], n_occ [N], occ_far [N]) occupancy-CDF
+        sample placement (render.intervals.image_occupancy_cdf) — switches
+        to render_rays_cdf; n_probe is its z-bin count.
       max_level: render-time LOD limit on hash-encoded fields.
 
     Returns rgb [N, 3] fp32. Callers reshape to [H, W, 3].
@@ -398,6 +497,25 @@ def render_image(
     if field.needs_time:
         t = 0.0 if time_scalar is None else time_scalar
         times = jnp.full((chunk, 1), t, jnp.float32)
+
+    if cdf is not None:
+        idx, n_occ, occ_far = cdf
+        # Padded rays get n_occ = 0 -> composited as pure background.
+        idxp = jnp.pad(idx, ((0, pad), (0, 0))).reshape(n_chunks, chunk, -1)
+        noccp = jnp.pad(n_occ, (0, pad)).reshape(n_chunks, chunk)
+        farp = jnp.pad(occ_far, (0, pad)).reshape(n_chunks, chunk)
+
+        def one_cdf(args):
+            o, d, ii, no, of = args
+            rgb_map, _, _, _ = render_rays_cdf(
+                field, params, o, d, idx=ii, n_occ=no, occ_far=of,
+                near=near, far=far, n_probe=n_probe, perturb=False,
+                times=times, grid_binary=grid_binary, grid_spec=grid_spec,
+                bg_color=bg_color, train=False, max_level=max_level)
+            return rgb_map
+
+        rgb = jax.lax.map(one_cdf, (ro, rd, idxp, noccp, farp))
+        return rgb.reshape(n_chunks * chunk, 3)[:n]
 
     if t0 is not None:
         # Padded rays get empty intervals -> composited as pure background.

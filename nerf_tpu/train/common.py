@@ -34,7 +34,10 @@ class ImageRenderer:
     `sampling="interval"` (requires a grid) switches to the fast eval path:
     per-ray occupied intervals from a block-coarse probe of the dilated
     occupancy grid, with the sample budget distributed inside the interval
-    (render/intervals.py). `max_level` limits hash-encode levels at render
+    (render/intervals.py). `sampling="cdf"` places the budget at the
+    quantiles of the per-ray occupied-bin CDF instead — no samples in gaps
+    between objects (measured 2-6 dB better than "interval" at k<=32 on
+    multi-object scenes). `max_level` limits hash-encode levels at render
     time (LOD).
     """
 
@@ -55,7 +58,7 @@ class ImageRenderer:
         # `field.blended_field` as the field together with
         # `field.blend_params` as blend.
         self._blend = blend
-        if sampling not in ("dense", "interval"):
+        if sampling not in ("dense", "interval", "cdf"):
             raise ValueError(f"unknown sampling mode: {sampling}")
         self.sampling = sampling
         # Multi-chip eval: rays shard over the mesh (the embarrassingly
@@ -100,8 +103,20 @@ class ImageRenderer:
                 grid_spec=grid_spec, bg_color=bg,
                 t0=t0, t1=t1, max_level=max_level)
 
+        def _render_flat_cdf(params, rays_o, rays_d, idx, n_occ, occ_far,
+                             time_scalar, grid_binary, bg):
+            return render_image(
+                field, params, rays_o, rays_d,
+                near=near, far=far, n_samples=n_samples, chunk=chunk,
+                time_scalar=time_scalar,
+                grid_binary=grid_binary if fine_mask else None,
+                grid_spec=grid_spec, bg_color=bg,
+                cdf=(idx, n_occ, occ_far), n_probe=interval_probes,
+                max_level=max_level)
+
         sharded_flat = _shard_rays(_render_flat, 2)
         sharded_flat_iv = _shard_rays(_render_flat_iv, 4)
+        sharded_flat_cdf = _shard_rays(_render_flat_cdf, 5)
         pad_to = self._n_dev * chunk if mesh is not None else chunk
 
         @partial(jax.jit, static_argnames=())
@@ -134,8 +149,29 @@ class ImageRenderer:
                                   grid_binary, bg)
             return rgb[:n]
 
+        @partial(jax.jit, static_argnames=())
+        def _render_cdf(params, rays_o_img, rays_d_img, time_scalar,
+                        grid_binary, bg):
+            from ..render.intervals import image_occupancy_cdf
+            idx, n_occ, occ_far = image_occupancy_cdf(
+                grid_binary, grid_spec, rays_o_img, rays_d_img, near, far,
+                n_samples, block=interval_block, n_probe=interval_probes,
+                dilate=interval_dilate)
+            n = rays_o_img.shape[0] * rays_o_img.shape[1]
+            pad = -n % pad_to
+            ro = jnp.pad(rays_o_img.reshape(-1, 3), ((0, pad), (0, 0)))
+            rd = jnp.pad(rays_d_img.reshape(-1, 3), ((0, pad), (0, 0)),
+                         constant_values=1.0)
+            idxp = jnp.pad(idx.reshape(-1, n_samples), ((0, pad), (0, 0)))
+            noccp = jnp.pad(n_occ.reshape(-1), (0, pad))
+            farp = jnp.pad(occ_far.reshape(-1), (0, pad))
+            rgb = sharded_flat_cdf(params, ro, rd, idxp, noccp, farp,
+                                   time_scalar, grid_binary, bg)
+            return rgb[:n]
+
         self._render = _render
         self._render_interval = _render_interval
+        self._render_cdf = _render_cdf
 
     def __call__(self, params, rays_o, rays_d, *, time=None,
                  grid_binary=None, bg_color=None) -> jnp.ndarray:
@@ -146,7 +182,11 @@ class ImageRenderer:
             params = self._blend(params, t)
         bg = jnp.ones((3,), jnp.float32) if bg_color is None \
             else jnp.asarray(bg_color, jnp.float32)
-        if (self.sampling == "interval" and grid_binary is not None
+        if (self.sampling == "cdf" and grid_binary is not None
+                and len(h_w) == 2):
+            rgb = self._render_cdf(params, rays_o, rays_d, t,
+                                   grid_binary, bg)
+        elif (self.sampling == "interval" and grid_binary is not None
                 and len(h_w) == 2):
             rgb = self._render_interval(params, rays_o, rays_d, t,
                                         grid_binary, bg)

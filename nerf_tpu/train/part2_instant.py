@@ -260,7 +260,7 @@ def run_part2_instant(cfg: dict, args) -> None:
                 field, near=near, far=far,
                 n_samples=cfg.get("render_ray_budget", 32),
                 chunk=min(chunk, 65536), grid_spec=grid_spec,
-                sampling="interval")
+                sampling="cdf")
         else:
             val_renderer = ImageRenderer(
                 field, near=near, far=far, n_samples=render_n_samples,
@@ -349,7 +349,7 @@ def run_part2_instant(cfg: dict, args) -> None:
             field, near=near, far=far,
             n_samples=cfg.get("render_ray_budget", 32),
             chunk=min(chunk, 65536), grid_spec=grid_spec,
-            sampling="interval",
+            sampling="cdf",
             max_level=cfg.get("render_max_level"), mesh=eval_mesh)
     else:
         renderer = ImageRenderer(field, near=near, far=far,

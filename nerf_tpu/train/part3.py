@@ -284,9 +284,18 @@ def run_part3(cfg: dict, args) -> None:
         print(f">>> tensorboard --logdir="
               f"{os.path.join(log_dir, 'tensorboard')}")
 
-        val_renderer = ImageRenderer(field, near=near, far=far,
-                                     n_samples=render_n_samples, chunk=chunk,
-                                     grid_spec=grid_spec)
+        # Occupancy-CDF validation renders when a grid exists (see
+        # _part3_eval); dense masked otherwise.
+        if grid_state is not None:
+            val_renderer = ImageRenderer(
+                field, near=near, far=far,
+                n_samples=cfg.get("render_ray_budget", 32),
+                chunk=min(chunk, 65536), grid_spec=grid_spec,
+                sampling="cdf")
+        else:
+            val_renderer = ImageRenderer(field, near=near, far=far,
+                                         n_samples=render_n_samples,
+                                         chunk=chunk, grid_spec=grid_spec)
         best_val_psnr = 0.0
         rng = key
         timer = StepTimer(batch_size)
@@ -414,11 +423,20 @@ def _part3_eval(cfg, args, field, params, grid_state, grid_spec,
     if cfg.get("mesh_devices", 1) > 1:
         from ..parallel.mesh import make_mesh
         eval_mesh = make_mesh(cfg["mesh_devices"])
-    renderer = ImageRenderer(render_field, near=near, far=far,
-                             n_samples=render_n_samples, chunk=chunk,
-                             grid_spec=grid_spec, capacity=eval_capacity,
-                             ray_budget=ray_budget if binary is not None
-                             else None, blend=blend, mesh=eval_mesh)
+    if binary is not None and ray_budget is not None:
+        # Occupancy-CDF sampling: the budget is spent evenly over the
+        # occupied z-bins (no tail truncation, no samples in gaps).
+        renderer = ImageRenderer(render_field, near=near, far=far,
+                                 n_samples=ray_budget,
+                                 chunk=min(chunk, 65536),
+                                 grid_spec=grid_spec, sampling="cdf",
+                                 max_level=cfg.get("render_max_level"),
+                                 blend=blend, mesh=eval_mesh)
+    else:
+        renderer = ImageRenderer(render_field, near=near, far=far,
+                                 n_samples=render_n_samples, chunk=chunk,
+                                 grid_spec=grid_spec, capacity=eval_capacity,
+                                 blend=blend, mesh=eval_mesh)
     picture_dir = os.path.join(log_dir, "picture")
     os.makedirs(picture_dir, exist_ok=True)
 

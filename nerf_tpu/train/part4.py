@@ -376,10 +376,21 @@ def run_part4(cfg: dict, args) -> None:
         print(f">>> tensorboard --logdir="
               f"{os.path.join(log_dir, 'tensorboard')}")
 
-        val_renderer = ImageRenderer(field.blended_field, near=near,
-                                     far=far, n_samples=render_n_samples,
-                                     chunk=chunk, grid_spec=grid_spec,
-                                     blend=field.blend_params)
+        # Validation renders go through the occupancy-CDF sampler when a
+        # grid exists (same as eval): dense 128-sample rendering of the val
+        # split costs minutes per pass at reference scale.
+        if grid_state is not None:
+            val_renderer = ImageRenderer(
+                field.blended_field, near=near, far=far,
+                n_samples=cfg.get("render_ray_budget", 32),
+                chunk=min(chunk, 65536), grid_spec=grid_spec,
+                sampling="cdf", blend=field.blend_params)
+        else:
+            val_renderer = ImageRenderer(field.blended_field, near=near,
+                                         far=far,
+                                         n_samples=render_n_samples,
+                                         chunk=chunk, grid_spec=grid_spec,
+                                         blend=field.blend_params)
         best_val_psnr = 0.0
         rng = key
         timer = StepTimer(batch_size)
@@ -491,12 +502,19 @@ def run_part4(cfg: dict, args) -> None:
                 and active_ratio < switch_ratio:
             eval_capacity = max(4096, int(chunk * render_n_samples
                                           * cap_frac) // 1024 * 1024)
-        renderer = ImageRenderer(field.blended_field, near=near, far=far,
-                                 blend=field.blend_params,
-                                 n_samples=render_n_samples, chunk=chunk,
-                                 grid_spec=grid_spec, capacity=eval_capacity,
-                                 ray_budget=ray_budget if binary is not None
-                                 else None)
+        if binary is not None and ray_budget is not None:
+            renderer = ImageRenderer(field.blended_field, near=near,
+                                     far=far, blend=field.blend_params,
+                                     n_samples=ray_budget,
+                                     chunk=min(chunk, 65536),
+                                     grid_spec=grid_spec, sampling="cdf",
+                                     max_level=cfg.get("render_max_level"))
+        else:
+            renderer = ImageRenderer(field.blended_field, near=near,
+                                     far=far, blend=field.blend_params,
+                                     n_samples=render_n_samples, chunk=chunk,
+                                     grid_spec=grid_spec,
+                                     capacity=eval_capacity)
         avg_psnr, psnrs = evaluate_split(field, params, test_set, renderer,
                                          grid_binary=binary,
                                          bg_color=fixed_bg)

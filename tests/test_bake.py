@@ -100,3 +100,22 @@ def test_bake_folds_occupancy_pruning(rng_key):
     dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (64, 3))
     _, sigma = bfield.apply(baked, pts, dirs)
     assert float(jnp.max(sigma)) < 1e-8
+
+
+def test_int8_bake_close_to_fp32(rng_key):
+    """int8 affine-quantized tables: per-channel step = range/254, so the
+    interpolated h must match the fp32 bake within ~a quantization step."""
+    field, params = _field_params(rng_key)
+    spec = BakedSpec(resolution=17, bound=1.5)
+    ref = bake_instant_field(field, params, spec, dtype=jnp.float32)
+    q8 = bake_instant_field(field, params, spec, dtype=jnp.int8)
+    assert q8["t0"].dtype == jnp.int8 and q8["t1"].dtype == jnp.int8
+    assert q8["qscale"].shape == (16,)
+
+    pts = jax.random.uniform(rng_key, (256, 3), jnp.float32, -1.4, 1.4)
+    h_ref = np.asarray(baked_h(ref, pts, spec))
+    h_q = np.asarray(baked_h(q8, pts, spec))
+    step = np.asarray(q8["qscale"])
+    # bf16 storage of the dense volume + int8 rounding: allow 2 steps
+    assert np.all(np.abs(h_q - h_ref) <= 2.0 * step[None, :] + 1e-3), \
+        float(np.abs(h_q - h_ref).max())

@@ -108,38 +108,44 @@ def main():
         print(f"{name:44s}  PSNR {psnr:6.2f} dB   FPS {fps:6.2f}")
 
     common = dict(near=near, far=far, chunk=65536, grid_spec=grid_spec)
+    # The dense baseline evaluates chunk*S points per chunk; cap the product
+    # near the interval paths' 65536*32 so neither OOMs HBM.
+    dense = dict(common, chunk=16384)
 
     # 1. dense masked baseline (exact reference semantics)
     add("dense masked, S=128",
-        ImageRenderer(field, n_samples=n_samples, **common))
+        ImageRenderer(field, n_samples=n_samples, **dense))
 
-    # 2. interval sampling, budget sweep
+    # 2. occupancy-CDF sampling, budget sweep
     for k in (16, 24, 32, 48):
-        add(f"interval k={k}",
-            ImageRenderer(field, n_samples=k, sampling="interval", **common))
+        add(f"cdf k={k}",
+            ImageRenderer(field, n_samples=k, sampling="cdf", **common))
 
     # 3. LOD sweep at k=32
     n_levels = cfg.get("n_levels", 16)
-    for ml in (n_levels - 6, n_levels - 4, n_levels - 2):
-        add(f"interval k=32, max_level={ml}",
-            ImageRenderer(field, n_samples=32, sampling="interval",
+    for ml in (n_levels - 6, n_levels - 4):
+        add(f"cdf k=32, max_level={ml}",
+            ImageRenderer(field, n_samples=32, sampling="cdf",
                           max_level=ml, **common))
 
-    # 4. baked field sweep
-    for res in (256, 384, 512):
+    # 4. baked field sweep (bf16 and int8 rows)
+    for res, qdtype, qname in ((384, jnp.bfloat16, "bf16"),
+                               (512, jnp.bfloat16, "bf16"),
+                               (512, jnp.int8, "int8")):
         bspec = BakedSpec(resolution=res, bound=cfg.get("scene_bound", 1.5))
         t0 = time.perf_counter()
-        baked = bake_instant_field(field, params, bspec,
+        baked = bake_instant_field(field, params, bspec, dtype=qdtype,
                                    grid_binary=binary, grid_spec=grid_spec)
         jax.block_until_ready(baked["t0"])
         float(jnp.sum(baked["t0"][:1].astype(jnp.float32)))
         bake_s = time.perf_counter() - t0
         bfield = build_baked_field(bspec, L_dir=L_dir)
-        print(f"    bake {res}^3: {bake_s:.1f} s, "
+        print(f"    bake {res}^3 {qname}: {bake_s:.1f} s, "
               f"{baked['t0'].nbytes * 2 / 1e9:.2f} GB")
-        add(f"baked {res}^3 bf16, interval k=32",
-            ImageRenderer(bfield, n_samples=32, sampling="interval",
-                          fine_mask=False, **common), p=baked)
+        for k in (24, 32, 48):
+            add(f"baked {res}^3 {qname}, cdf k={k}",
+                ImageRenderer(bfield, n_samples=k, sampling="cdf",
+                              fine_mask=False, **common), p=baked)
 
     lines = ["| render path | test PSNR (dB) | 800x800 FPS |",
              "|---|---|---|"]

@@ -65,11 +65,13 @@ def main():
 
     if mode == "baked":
         # Production render path: sigma-net field baked once per checkpoint
-        # into brick-row tables (render/bake.py) — 2 row-gathers per point
-        # vs one per hash level, occupancy pruning folded into the bake.
+        # into int8 cell-row tables (render/bake.py) — ONE 128-lane
+        # row-gather per point vs one per hash level, occupancy pruning
+        # folded into the bake.
         from nerf_tpu.render.bake import BakedSpec, bake_instant_field, \
             build_baked_field
-        bspec = BakedSpec(resolution=512, bound=1.5)
+        bake_res = int(os.environ.get("BENCH_BAKE_RES", 384))
+        bspec = BakedSpec(resolution=bake_res, bound=1.5)
         baked = bake_instant_field(field, params, bspec,
                                    grid_binary=binary, grid_spec=grid_spec)
         render_field, render_params = build_baked_field(bspec), baked
@@ -81,7 +83,7 @@ def main():
     renderer = ImageRenderer(render_field, near=2.0, far=6.0,
                              n_samples=ray_budget,
                              chunk=chunk, grid_spec=grid_spec,
-                             sampling="interval", interval_block=4,
+                             sampling="cdf", interval_block=4,
                              interval_probes=128, interval_dilate=1,
                              fine_mask=fine_mask, max_level=max_level)
     params = render_params

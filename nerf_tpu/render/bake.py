@@ -6,8 +6,8 @@ bound HBM access). The reference amortizes nothing — its CUDA kernels re-walk
 the multiresolution tables for every sample of every frame
 (reference: src/embeddings.py:75-89). On TPU the idiomatic trade is to spend
 HBM capacity to kill gather count: bake the sigma-net output field once per
-trained checkpoint into a dense voxel grid of brick rows, then render with
-TWO row-gathers per point, total.
+trained checkpoint into a dense voxel table, then render with ONE row-gather
+per point, total.
 
 What is baked: the 16 pre-activation outputs `h` of the instant decoder's
 sigma net at every voxel vertex — exactly the tensor the renderer needs,
@@ -17,21 +17,30 @@ live, so view effects are exact. Occupancy pruning can be folded into the
 bake (masked vertices get h[0] = -20, i.e. sigma ~ 1e-11), which removes the
 per-sample grid lookup from the render loop entirely.
 
+Layout — measured, not guessed (profile 2026-08-17): one row per CELL,
+holding the cell's 8 corner vertices x 16 channels = 128 int8 lanes. A
+128-lane int8 row is one native-tile row slice, so the per-point access is
+a single descriptor-rate gather (~2-4 ns); the trilinear interpolation is
+one fused [N, 8, 16] multiply-reduce against separable corner weights. The
+previous layout (4^3-vertex bricks, 2 x 512-lane rows) measured 15.6
+ns/gather plus 320 ms/frame of layout copies + full-width fp32 converts —
+the 512-lane int8 rows span four (32,128) tiles per access. The cell layout
+stores every vertex 8x (one copy per adjacent cell), spending HBM capacity
+for descriptor-rate access: resolution^3 x 128 B, e.g. 2.1 GB at 256^3,
+7.2 GB at 384^3 (int8). bf16 doubles that; int8 measured 0.00 dB vs bf16.
+
 Accuracy: rendering a baked field equals rendering the trilinear
 interpolation of the exact field sampled at `resolution`^3 — the same class
 of approximation the hash encoding itself makes, one octave below its finest
 level. Measure the PSNR delta per scene with tools/quality_ab.py before
 shipping a resolution.
-
-Layout: overlapping 4^3-vertex bricks (stride 3 cells), 8 channels per
-table x 2 tables -> 512-lane bf16 rows (1 KB: the measured sweet spot of the
-v5e gather descriptor rate; 2 KB rows fall off a cliff).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,12 +50,11 @@ from ..models import decoders as D
 from ..models.fields import Field
 from ..ops.fourier import fourier_encode
 
-_BRICK_V = 4      # vertices per brick axis
-_BRICK_C = 3      # cells per brick axis (stride)
-_CH_PER_TABLE = 8
 _N_CH = 16        # sigma-net output width (reference: src/decoders.py:111)
-_LANES = _BRICK_V ** 3 * _CH_PER_TABLE   # 512
+_CORNERS = 8
+_LANES = _CORNERS * _N_CH               # 128
 _MASKED_H0 = -20.0   # softplus(-25) ~ 1.4e-11: pruned voxels render empty
+_MAX_TABLE_BYTES = 11 << 30
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,46 +64,50 @@ class BakedSpec:
     bound: float = 1.5
 
     @property
-    def bricks_per_axis(self) -> int:
-        return max(1, -(-(self.resolution - 1) // _BRICK_C))
+    def cells_per_axis(self) -> int:
+        return self.resolution - 1
 
     @property
-    def n_bricks(self) -> int:
-        return self.bricks_per_axis ** 3
+    def n_cells(self) -> int:
+        return self.cells_per_axis ** 3
 
 
 def _vertex_positions(spec: BakedSpec) -> np.ndarray:
-    lin = np.linspace(-spec.bound, spec.bound, spec.resolution,
-                      dtype=np.float32)
-    return lin
+    return np.linspace(-spec.bound, spec.bound, spec.resolution,
+                       dtype=np.float32)
 
 
 def bake_instant_field(field, params, spec: BakedSpec, *,
                        grid_binary: Optional[jnp.ndarray] = None,
                        grid_spec=None,
                        chunk: int = 1 << 17,
-                       dtype=jnp.bfloat16) -> dict:
-    """Evaluate the sigma net on every voxel vertex and pack brick rows.
+                       dtype=jnp.int8) -> dict:
+    """Evaluate the sigma net on every voxel vertex and pack cell rows.
 
-    Returns baked params: {"t0": [nb,512], "t1": [nb,512] (dtype),
-    "qscale"/"qzero": [16] fp32 (int8 only), "color_net": ...} —
-    consumable by `build_baked_field`.
+    Returns baked params: {"cells": [n_cells, 128] (dtype), "qscale"/
+    "qzero": [16] fp32 (int8 only), "color_net": ...} — consumable by
+    `build_baked_field`.
 
     When `grid_binary` is given, vertices in pruned voxels bake
     h[0] = -20 so empty space renders empty without any per-sample grid
     lookup at render time.
 
-    `dtype=jnp.int8` stores per-channel affine-quantized rows: 512-lane
-    int8 rows are 512 B — the measured v5e gather descriptor rate is ~2x
-    the 1 KB bf16 rows', halving the dominant render cost. Quantization is
-    per channel ((max-min)/254 step over the baked volume); trilinear
-    interpolation commutes with the affine map, so dequantization happens
-    once after extraction.
+    `dtype=jnp.int8` (default) stores per-channel affine-quantized rows
+    ((max-min)/254 step over the baked volume); trilinear interpolation
+    commutes with the affine map, so dequantization happens once after the
+    corner reduction. Measured 0.00 dB vs bf16 on the Lego-proxy checkpoint.
     """
     r = spec.resolution
+    nc = spec.cells_per_axis
+    table_bytes = spec.n_cells * _LANES * jnp.dtype(dtype).itemsize
+    if table_bytes > _MAX_TABLE_BYTES:
+        raise ValueError(
+            f"baked table would be {table_bytes/2**30:.1f} GiB at "
+            f"resolution {r} ({jnp.dtype(dtype).name}); it must fit HBM "
+            f"next to the render working set — use a smaller resolution "
+            f"or int8")
     dec = params["decoder"]
 
-    # sigma-net pre-activations on all vertices, chunked via lax.map
     lin = jnp.asarray(_vertex_positions(spec))
     from ..render.density_grid import grid_active_mask
 
@@ -108,12 +120,14 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
             h = jnp.concatenate([h0[:, None], h[:, 1:]], axis=1)
         return h
 
-    # Evaluate per x-plane (r^2 points each) and keep the dense volume in
-    # the table dtype: a 512^3 fp32 intermediate would be 8.6 GB; bf16
-    # halves it and the packing below streams in brick slabs.
     quantize = dtype == jnp.int8
     store_dtype = jnp.bfloat16 if quantize else dtype
 
+    # Small jitted programs dispatched from a Python loop with in-place
+    # (donated) device accumulation. One giant lax.map over all planes
+    # compiles pathologically slowly on the remote TPU compiler (tens of
+    # minutes; observed tunnel breakage); per-plane dispatch costs only
+    # ~30 ms x r of host round-trips.
     @jax.jit
     def plane(xv):
         yy, zz = jnp.meshgrid(lin, lin, indexing="ij")
@@ -128,7 +142,17 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
         ext = jnp.stack([h.min(axis=(0, 1)), h.max(axis=(0, 1))])
         return h.astype(store_dtype), ext
 
-    dense, exts = jax.lax.map(plane, lin)                  # [R,R,R,16]
+    @partial(jax.jit, donate_argnums=(0,))
+    def acc_plane(dense, i, h):
+        return jax.lax.dynamic_update_slice(dense, h[None], (i, 0, 0, 0))
+
+    dense = jnp.zeros((r, r, r, _N_CH), store_dtype)
+    ext_list = []
+    for i in range(r):
+        h, ext = plane(lin[i])
+        dense = acc_plane(dense, i, h)
+        ext_list.append(ext)
+    exts = jnp.stack(ext_list)
 
     qscale = qzero = None
     if quantize:
@@ -137,81 +161,80 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
         qzero = (hi + lo) / 2.0
         qscale = jnp.maximum((hi - lo) / 254.0, 1e-8)
 
-    # Pack overlapping bricks: vertex v of brick b sits at 3b + v (clipped).
-    # Streamed over the x brick axis to bound peak memory.
-    nb = spec.bricks_per_axis
-    vidx = jnp.minimum(
-        _BRICK_C * jnp.arange(nb)[:, None] + jnp.arange(_BRICK_V)[None, :],
-        r - 1)                                             # [nb, 4]
+        # Quantize the dense volume BEFORE packing (donating the bf16
+        # buffer): the packed table is 8x the dense volume, so the peak
+        # lives during packing and every saved byte counts.
+        @partial(jax.jit, donate_argnums=(0,))
+        def quant_dense(d):
+            q = (d.astype(jnp.float32) - qzero) / qscale
+            return jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
 
+        dense = quant_dense(dense)
+    out_dtype = jnp.int8 if quantize else dtype
+
+    # Pack cell rows: cell (i,j,k) row holds vertices (i+di, j+dj, k+dk),
+    # lane = ((di*2+dj)*2+dk)*16 + channel. Built slab-by-slab along x.
     @jax.jit
-    def pack_slab(bx):
-        xi = jnp.minimum(_BRICK_C * bx + jnp.arange(_BRICK_V), r - 1)
-        slab = dense[xi]                                   # [4, R, R, 16]
-        g = slab[:, vidx][:, :, :, vidx]                   # [4,nb,4,nb,4,16]
-        g = g.transpose(1, 3, 0, 2, 4, 5)                  # [nb,nb,4,4,4,16]
-        if quantize:
-            q = (g.astype(jnp.float32) - qzero) / qscale
-            g = jnp.clip(jnp.round(q), -127, 127).astype(jnp.int8)
-        g = g.reshape(nb * nb, _BRICK_V ** 3, _N_CH)
-        return (g[..., :_CH_PER_TABLE].reshape(nb * nb, _LANES),
-                g[..., _CH_PER_TABLE:].reshape(nb * nb, _LANES))
+    def pack_slab(dense, cx):
+        s0 = jax.lax.dynamic_slice(
+            dense, (cx, 0, 0, 0), (1, r, r, _N_CH))[0]     # [R, R, 16]
+        s1 = jax.lax.dynamic_slice(
+            dense, (cx + 1, 0, 0, 0), (1, r, r, _N_CH))[0]
+        corners = []
+        for s in (s0, s1):                                 # di = 0, 1
+            for dj in (0, 1):                              # [nc, nc, 16]
+                for dk in (0, 1):
+                    corners.append(s[dj:dj + nc, dk:dk + nc])
+        g = jnp.stack(corners, axis=2)                     # [nc, nc, 8, 16]
+        return g.reshape(nc * nc, _LANES)
 
-    t0, t1 = jax.lax.map(pack_slab, jnp.arange(nb))
-    return {"t0": t0.reshape(spec.n_bricks, _LANES),
-            "t1": t1.reshape(spec.n_bricks, _LANES),
+    @partial(jax.jit, donate_argnums=(0,))
+    def acc_slab(cells, cx, rows):
+        return jax.lax.dynamic_update_slice(cells, rows[None], (cx, 0, 0))
+
+    cells = jnp.zeros((nc, nc * nc, _LANES), out_dtype)
+    for cx in range(nc):
+        cells = acc_slab(cells, cx, pack_slab(dense, cx))
+    return {"cells": cells.reshape(spec.n_cells, _LANES),
             "qscale": qscale, "qzero": qzero,
             "color_net": dec["color_net"]}
 
 
-def _baked_extract(rows: jnp.ndarray, q: jnp.ndarray,
-                   frac: jnp.ndarray) -> jnp.ndarray:
-    """Factorized trilinear extraction of 8 channels from 512-lane brick
-    rows (lane = ((i*4+j)*4+k)*8 + f). Static lane slices + two-tap masks,
-    no gathers — the F=8 analog of the hash grid's level_feats."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+def _corner_weights(frac: jnp.ndarray) -> jnp.ndarray:
+    """Separable trilinear corner weights, corner order (di, dj, dk)
+    lexicographic (matching pack_slab). frac [N, 3] -> [N, 8]."""
     fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
-    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
-
-    plane_i = lane >> 7
-    mx = (plane_i == qx) * (1.0 - fx) + (plane_i == qx + 1) * fx
-    v = rows * mx                                          # [N, 512]
-    y = v[:, 0:128] + v[:, 128:256] + v[:, 256:384] + v[:, 384:512]
-
-    plane_j = lane[:, 0:128] >> 5
-    my = (plane_j == qy) * (1.0 - fy) + (plane_j == qy + 1) * fy
-    v = y * my
-    y = v[:, 0:32] + v[:, 32:64] + v[:, 64:96] + v[:, 96:128]
-
-    plane_k = lane[:, 0:32] >> 3
-    mz = (plane_k == qz) * (1.0 - fz) + (plane_k == qz + 1) * fz
-    v = y * mz
-    return v[:, 0:8] + v[:, 8:16] + v[:, 16:24] + v[:, 24:32]  # [N, 8]
+    wx = jnp.concatenate([1.0 - fx, fx], axis=1)           # [N, 2]
+    wy = jnp.concatenate([1.0 - fy, fy], axis=1)
+    wz = jnp.concatenate([1.0 - fz, fz], axis=1)
+    w = (wx[:, :, None, None] * wy[:, None, :, None]
+         * wz[:, None, None, :])
+    return w.reshape(-1, _CORNERS)
 
 
 def baked_h(baked: dict, x: jnp.ndarray, spec: BakedSpec) -> jnp.ndarray:
-    """Trilinearly interpolated sigma-net outputs at world points [N,3]."""
+    """Trilinearly interpolated sigma-net outputs at world points [N,3].
+
+    One 128-lane row gather per point + one fused [N, 8, 16]
+    multiply-reduce; dequantization (int8 tables) happens after the
+    reduction — the corner weights sum to 1, so interp-then-dequant is
+    exact.
+    """
     r = spec.resolution
-    nb = spec.bricks_per_axis
+    nc = spec.cells_per_axis
     xf = x.astype(jnp.float32)
     x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
     pos = x01 * (r - 1.0)
     p0 = jnp.clip(jnp.floor(pos), 0.0, r - 2.0)
     frac = pos - p0
     p0 = p0.astype(jnp.int32)
-    brick = p0 // _BRICK_C
-    q = p0 - brick * _BRICK_C
-    row = (brick[:, 0] * nb + brick[:, 1]) * nb + brick[:, 2]
+    row = (p0[:, 0] * nc + p0[:, 1]) * nc + p0[:, 2]
 
-    outs = []
-    for key in ("t0", "t1"):
-        rows = jnp.take(baked[key], row, axis=0, mode="clip") \
-            .astype(jnp.float32)
-        outs.append(_baked_extract(rows, q, frac))
-    h = jnp.concatenate(outs, axis=-1)                     # [N, 16]
+    rows = jnp.take(baked["cells"], row, axis=0, mode="clip")
+    v = rows.reshape(-1, _CORNERS, _N_CH).astype(jnp.float32)
+    w = _corner_weights(frac)
+    h = jnp.sum(v * w[:, :, None], axis=1)                 # [N, 16]
     if baked.get("qscale") is not None:
-        # Per-channel affine dequantization (int8 tables); the trilinear
-        # weights sum to 1, so interp-then-dequant is exact.
         h = h * baked["qscale"][None, :] + baked["qzero"][None, :]
     return h
 

@@ -109,7 +109,7 @@ def test_int8_bake_close_to_fp32(rng_key):
     spec = BakedSpec(resolution=17, bound=1.5)
     ref = bake_instant_field(field, params, spec, dtype=jnp.float32)
     q8 = bake_instant_field(field, params, spec, dtype=jnp.int8)
-    assert q8["t0"].dtype == jnp.int8 and q8["t1"].dtype == jnp.int8
+    assert q8["cells"].dtype == jnp.int8
     assert q8["qscale"].shape == (16,)
 
     pts = jax.random.uniform(rng_key, (256, 3), jnp.float32, -1.4, 1.4)

@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--out", default="AB_RESULTS.md")
     ap.add_argument("--fps", action="store_true",
                     help="also measure 800x800 FPS per variant")
+    ap.add_argument("--only", default=None,
+                    help="run only variants whose name contains this")
     args = ap.parse_args()
 
     from nerf_tpu.data.blender import BlenderDataset
@@ -102,6 +104,8 @@ def main():
     rows = []
 
     def add(name, renderer, p=params):
+        if args.only and args.only not in name:
+            return
         psnr = psnr_over_split(renderer, p, test_set, idxs, binary)
         fps = fps_at_800(renderer, p, binary) if args.fps else float("nan")
         rows.append((name, psnr, fps))
@@ -128,21 +132,26 @@ def main():
             ImageRenderer(field, n_samples=32, sampling="cdf",
                           max_level=ml, **common))
 
-    # 4. baked field sweep (bf16 and int8 rows)
-    for res, qdtype, qname in ((384, jnp.bfloat16, "bf16"),
-                               (512, jnp.bfloat16, "bf16"),
-                               (512, jnp.int8, "int8")):
+    # 4. baked field sweep (cell-row layout; int8 measured 0.00 dB vs
+    # bf16, and bf16 cell tables would double the 8x-redundant storage).
+    # 512^3 int8 (17 GB) exceeds HBM in this layout; 384^3 measured equal
+    # to 512^3 in the old layout.
+    for res, qdtype, qname in ((256, jnp.int8, "int8"),
+                               (384, jnp.int8, "int8")):
+        names = [f"baked {res}^3 {qname}, cdf k={k}" for k in (24, 32)]
+        if args.only and not any(args.only in n for n in names):
+            continue
         bspec = BakedSpec(resolution=res, bound=cfg.get("scene_bound", 1.5))
         t0 = time.perf_counter()
         baked = bake_instant_field(field, params, bspec, dtype=qdtype,
                                    grid_binary=binary, grid_spec=grid_spec)
-        jax.block_until_ready(baked["t0"])
-        float(jnp.sum(baked["t0"][:1].astype(jnp.float32)))
+        jax.block_until_ready(baked["cells"])
+        float(jnp.sum(baked["cells"][:1].astype(jnp.float32)))
         bake_s = time.perf_counter() - t0
         bfield = build_baked_field(bspec, L_dir=L_dir)
         print(f"    bake {res}^3 {qname}: {bake_s:.1f} s, "
-              f"{baked['t0'].nbytes * 2 / 1e9:.2f} GB")
-        for k in (24, 32, 48):
+              f"{baked['cells'].nbytes / 1e9:.2f} GB")
+        for k in (24, 32):
             add(f"baked {res}^3 {qname}, cdf k={k}",
                 ImageRenderer(bfield, n_samples=k, sampling="cdf",
                               fine_mask=False, **common), p=baked)

@@ -179,7 +179,9 @@ def run_part2_instant(cfg: dict, args) -> None:
             print(f">>> data-parallel mesh: {mesh_devices} devices")
         local_batch = batch_size // (mesh_devices if mesh else 1)
 
-        def make_step(capacity, ray_budget=None):
+        def make_step(capacity, ray_budget=None, n_samples_step=None):
+            n_samp = n_samples_step or n_samples
+
             def local_grads(params, rng, step, grid_binary, use_grid):
                 r_sample, r_bg, r_render = jax.random.split(rng, 3)
                 if mesh is not None:
@@ -202,7 +204,7 @@ def run_part2_instant(cfg: dict, args) -> None:
                 def loss_fn(p):
                     pred, _, _, _ = render_rays(
                         field, p, rays_o, rays_d, rng=r_render,
-                        near=near, far=far, n_samples=n_samples,
+                        near=near, far=far, n_samples=n_samp,
                         perturb=True, bg_color=bg, train=True,
                         grid_binary=grid_binary if use_grid else None,
                         grid_spec=grid_spec,
@@ -237,10 +239,19 @@ def run_part2_instant(cfg: dict, args) -> None:
                 return params, opt_state, loss, loss_rgb, loss_tv
             return train_step
 
-        step_mask = make_step(None)          # dense / warmup regime
+        step_mask = make_step(None)          # dense / no-grid regime
         train_ray_budget = cfg.get("train_ray_budget")
         step_compact = (make_step(None, ray_budget=train_ray_budget)
                         if train_ray_budget else make_step(train_capacity))
+        # Optional cheap warmup: before the density grid activates, train
+        # with a coarser stratified sampling (`warmup_n_samples`, e.g. 32
+        # of 128). The dense 128-sample warmup step costs ~4x the budget
+        # step (measured 899 vs 226 ms at reference scale) for the phase
+        # that only learns coarse density. Off by default (reference
+        # semantics); applies only while the grid is warming up.
+        warmup_ns = cfg.get("warmup_n_samples")
+        step_warm = (make_step(None, n_samples_step=warmup_ns)
+                     if warmup_ns and grid_state is not None else step_mask)
 
         print(f">>> target: {train_iters} steps | lr {learning_rate} "
               f"(cosine -> {eta_min}) | batch {batch_size} x {n_samples}")
@@ -277,7 +288,12 @@ def run_part2_instant(cfg: dict, args) -> None:
             rng, srng = jax.random.split(rng)
             use_grid = grid_state is not None and step > grid_warmup_iters
             compact = use_grid and active_ratio < switch_ratio
-            fn = step_compact if compact else step_mask
+            if grid_state is not None and not use_grid:
+                fn = step_warm
+            elif compact:
+                fn = step_compact
+            else:
+                fn = step_mask
             binary = grid_state["binary"] if grid_state is not None \
                 else dummy_binary
             params, opt_state, loss, loss_rgb, loss_tv = fn(

@@ -175,7 +175,9 @@ def run_part3(cfg: dict, args) -> None:
             print(f">>> data-parallel mesh: {mesh_devices} devices")
         local_batch = batch_size // (mesh_devices if mesh else 1)
 
-        def make_step(capacity, ray_budget=None):
+        def make_step(capacity, ray_budget=None, n_samples_step=None):
+            n_samp = n_samples_step or n_samples
+
             def local_grads(params, rng, step, grid_binary, use_grid):
                 rs = list(jax.random.split(rng, 6))
                 if mesh is not None:
@@ -194,7 +196,7 @@ def run_part3(cfg: dict, args) -> None:
                 def loss_fn(p):
                     pred, _, _, extras = render_rays(
                         field, p, rays_o, rays_d, rng=rs[2],
-                        near=near, far=far, n_samples=n_samples,
+                        near=near, far=far, n_samples=n_samp,
                         perturb=True, times=times, bg_color=bg, train=True,
                         grid_binary=grid_binary if use_grid else None,
                         grid_spec=grid_spec,
@@ -279,6 +281,10 @@ def run_part3(cfg: dict, args) -> None:
         train_ray_budget = cfg.get("train_ray_budget")
         step_compact = (make_step(None, ray_budget=train_ray_budget)
                         if train_ray_budget else make_step(train_capacity))
+        # Cheap pre-grid warmup at coarser sampling (see part2_instant).
+        warmup_ns = cfg.get("warmup_n_samples")
+        step_warm = (make_step(None, n_samples_step=warmup_ns)
+                     if warmup_ns and grid_state is not None else step_mask)
 
         print(">>> Start Training Part 3 (Dynamic NeRF)...")
         print(f">>> tensorboard --logdir="
@@ -310,7 +316,12 @@ def run_part3(cfg: dict, args) -> None:
             rng, srng = jax.random.split(rng)
             use_grid = grid_state is not None and step > grid_warmup_iters
             compact = use_grid and active_ratio < switch_ratio
-            fn = step_compact if compact else step_mask
+            if grid_state is not None and not use_grid:
+                fn = step_warm
+            elif compact:
+                fn = step_compact
+            else:
+                fn = step_mask
             binary = grid_state["binary"] if grid_state is not None \
                 else dummy_binary
             params, opt_state, total, aux = fn(

@@ -51,6 +51,7 @@ def _lr_mult(path_keys) -> float:
 
 def make_part4_train_step(cfg: dict, field, tx, data, *, H, W, focal,
                           capacity=None, ray_budget=None,
+                          n_samples_step=None,
                           mesh=None, axis: str = "data"):
     """Build the jitted Part-4 train step: 7-term loss (RGB, delta-x L2,
     TV-displacement x3, TV-canonical, cadenced temporal / volume /
@@ -70,7 +71,7 @@ def make_part4_train_step(cfg: dict, field, tx, data, *, H, W, focal,
     scene_scale = cfg.get("scene_scale", 1.0)
     near = float(cfg.get("near", 2.0))
     far = float(cfg.get("far", 6.0))
-    n_samples = cfg.get("n_samples", 64)
+    n_samples = n_samples_step or cfg.get("n_samples", 64)
     batch_size = cfg.get("batch_size", 4096)
     white_bkgd = cfg.get("white_bkgd", True)
     scene_bound = cfg.get("scene_bound", 1.5)
@@ -362,15 +363,20 @@ def run_part4(cfg: dict, args) -> None:
             mesh = make_mesh(mesh_devices)
             print(f">>> data-parallel mesh: {mesh_devices} devices")
 
-        def make_step(capacity, ray_budget=None):
+        def make_step(capacity, ray_budget=None, n_samples_step=None):
             return make_part4_train_step(
                 cfg, field, tx, data, H=H, W=W, focal=focal,
-                capacity=capacity, ray_budget=ray_budget, mesh=mesh)
+                capacity=capacity, ray_budget=ray_budget,
+                n_samples_step=n_samples_step, mesh=mesh)
 
         step_mask = make_step(None)
         train_ray_budget = cfg.get("train_ray_budget")
         step_compact = (make_step(None, ray_budget=train_ray_budget)
                         if train_ray_budget else make_step(train_capacity))
+        # Cheap pre-grid warmup at coarser sampling (see part2_instant).
+        warmup_ns = cfg.get("warmup_n_samples")
+        step_warm = (make_step(None, n_samples_step=warmup_ns)
+                     if warmup_ns and grid_state is not None else step_mask)
 
         print(">>> Start Training Part 4 (Dual-Hash Dynamic NeRF)...")
         print(f">>> tensorboard --logdir="
@@ -404,7 +410,12 @@ def run_part4(cfg: dict, args) -> None:
             rng, srng = jax.random.split(rng)
             use_grid = grid_state is not None and step > grid_warmup_iters
             compact = use_grid and active_ratio < switch_ratio
-            fn = step_compact if compact else step_mask
+            if grid_state is not None and not use_grid:
+                fn = step_warm
+            elif compact:
+                fn = step_compact
+            else:
+                fn = step_mask
             binary = grid_state["binary"] if grid_state is not None \
                 else dummy_binary
             params, opt_state, total, aux = fn(

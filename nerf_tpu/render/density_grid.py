@@ -41,10 +41,9 @@ def density_grid_init(spec: DensityGridSpec) -> dict:
     }
 
 
-def grid_active_mask(binary: jnp.ndarray, pts: jnp.ndarray,
-                     spec: DensityGridSpec) -> jnp.ndarray:
-    """Boolean activity per point [N]; out-of-bounds points are inactive
-    (reference: src/renderer.py:134-166).
+def grid_lookup(volume: jnp.ndarray, pts: jnp.ndarray,
+                spec: DensityGridSpec) -> jnp.ndarray:
+    """Nearest-voxel value per point [N] fp32; 0 outside the volume.
 
     TPU note: a direct voxel lookup is one arbitrary gather per point
     (~9 ns each, descriptor-rate-bound). Instead the volume is repacked
@@ -59,12 +58,13 @@ def grid_active_mask(binary: jnp.ndarray, pts: jnp.ndarray,
     i = jnp.clip(idx, 0, r - 1)
 
     if r % 8 != 0:
-        vals = binary[i[:, 0], i[:, 1], i[:, 2]]
-        return vals & in_bounds
+        vals = volume[i[:, 0], i[:, 1], i[:, 2]].astype(jnp.float32)
+        return vals * in_bounds.astype(jnp.float32)
 
     # Pack cells (4, 4, 8) per row: row-major over brick coords, lane =
     # ((i&3)<<5) | ((j&3)<<3) | (k&7).
-    packed = binary.reshape(r // 4, 4, r // 4, 4, r // 8, 8) \
+    packed = volume.astype(jnp.float32) \
+        .reshape(r // 4, 4, r // 4, 4, r // 8, 8) \
         .transpose(0, 2, 4, 1, 3, 5).reshape(-1, 128)
     row = ((i[:, 0] >> 2) * (r >> 2) + (i[:, 1] >> 2)) * (r >> 3) \
         + (i[:, 2] >> 3)
@@ -72,9 +72,15 @@ def grid_active_mask(binary: jnp.ndarray, pts: jnp.ndarray,
 
     rows = jnp.take(packed, row, axis=0, unique_indices=False, mode="clip")
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    hit = jnp.sum(
-        rows.astype(jnp.float32) * (lane == lane_idx[:, None]), axis=1)
-    return (hit > 0.0) & in_bounds
+    val = jnp.sum(rows * (lane == lane_idx[:, None]), axis=1)
+    return val * in_bounds.astype(jnp.float32)
+
+
+def grid_active_mask(binary: jnp.ndarray, pts: jnp.ndarray,
+                     spec: DensityGridSpec) -> jnp.ndarray:
+    """Boolean activity per point [N]; out-of-bounds points are inactive
+    (reference: src/renderer.py:134-166)."""
+    return grid_lookup(binary, pts, spec) > 0.0
 
 
 def _grid_centers(spec: DensityGridSpec) -> np.ndarray:

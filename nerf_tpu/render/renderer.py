@@ -449,6 +449,83 @@ def render_rays_cdf(
     return rgb_map, depth_map, acc_map, extras
 
 
+def render_rays_z(
+    field,
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    *,
+    z: jnp.ndarray,
+    valid: jnp.ndarray,
+    occ_far: jnp.ndarray,
+    far: float,
+    dbin: float,
+    times: Optional[jnp.ndarray] = None,
+    grid_binary: Optional[jnp.ndarray] = None,
+    grid_spec: Optional[DensityGridSpec] = None,
+    bg_color: Optional[jnp.ndarray] = None,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    max_level: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
+    """Render rays at explicit ascending sample positions `z` [R, k]
+    (importance placement, render/intervals.py::image_importance_cdf).
+
+    Compositing distances are the forward z-differences (the standard
+    estimator for samples drawn from a per-ray pdf); the final sample gets
+    the dense path's 1e10 catch-all when the ray is occupied through the
+    far plane, else one probe-bin width.
+    """
+    n_rays, k = z.shape
+    dynamic = field.needs_time
+    if bg_color is None:
+        bg_color = jnp.ones((3,), jnp.float32)
+
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    view_dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    view_dirs = jnp.broadcast_to(view_dirs[:, None, :], (n_rays, k, 3))
+
+    n_pts = n_rays * k
+    pts_flat = pts.reshape(n_pts, 3)
+    dirs_flat = view_dirs.reshape(n_pts, 3)
+    times_flat = None
+    if dynamic:
+        if times is None:
+            times = jnp.zeros((n_rays, 1), jnp.float32)
+        times_flat = jnp.broadcast_to(
+            times[:, None, :], (n_rays, k, 1)).reshape(n_pts, 1)
+
+    if dynamic:
+        rgb, sigma, delta = field.apply(params, pts_flat, dirs_flat,
+                                        times_flat, train=train, rng=rng,
+                                        max_level=max_level)
+    else:
+        rgb, sigma = field.apply(params, pts_flat, dirs_flat,
+                                 train=train, rng=rng, max_level=max_level)
+        delta = None
+
+    rgb = rgb.astype(jnp.float32).reshape(n_rays, k, 3)
+    sigma = sigma.astype(jnp.float32).reshape(n_rays, k)
+    sigma = sigma * valid.astype(jnp.float32)[:, None]
+    if grid_binary is not None:
+        fine = grid_active_mask(grid_binary, pts_flat, grid_spec)
+        sigma = sigma * fine.reshape(n_rays, k).astype(jnp.float32)
+
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    diffs = z[:, 1:] - z[:, :-1]                            # [R, k-1]
+    last = jnp.where(occ_far, 1e10, dbin)
+    dists = jnp.concatenate([diffs, last[:, None]], axis=1) * norm
+
+    rgb_map, depth_map, acc_map, weights = composite(
+        rgb, sigma, z, rays_d, bg_color=bg_color, dists=dists)
+
+    extras = {}
+    if dynamic and delta is not None:
+        delta = delta.astype(jnp.float32).reshape(n_rays, k, 3)
+        extras["mean_delta_x"] = jnp.sum(weights[..., None] * delta, axis=1)
+    return rgb_map, depth_map, acc_map, extras
+
+
 def render_image(
     field,
     params,
@@ -468,6 +545,7 @@ def render_image(
     t0: Optional[jnp.ndarray] = None,
     t1: Optional[jnp.ndarray] = None,
     cdf: Optional[tuple] = None,
+    zs: Optional[tuple] = None,
     n_probe: int = 128,
     max_level: Optional[int] = None,
 ) -> jnp.ndarray:
@@ -481,6 +559,9 @@ def render_image(
       cdf: optional (idx [N,k], n_occ [N], occ_far [N]) occupancy-CDF
         sample placement (render.intervals.image_occupancy_cdf) — switches
         to render_rays_cdf; n_probe is its z-bin count.
+      zs: optional (z [N,k], valid [N], occ_far [N]) explicit importance
+        sample positions (render.intervals.image_importance_cdf) —
+        switches to render_rays_z.
       max_level: render-time LOD limit on hash-encoded fields.
 
     Returns rgb [N, 3] fp32. Callers reshape to [H, W, 3].
@@ -497,6 +578,25 @@ def render_image(
     if field.needs_time:
         t = 0.0 if time_scalar is None else time_scalar
         times = jnp.full((chunk, 1), t, jnp.float32)
+
+    if zs is not None:
+        zv, validv, farv = zs
+        zp = jnp.pad(zv, ((0, pad), (0, 0))).reshape(n_chunks, chunk, -1)
+        vp = jnp.pad(validv, (0, pad)).reshape(n_chunks, chunk)
+        fp = jnp.pad(farv, (0, pad)).reshape(n_chunks, chunk)
+        dbin = (far - near) / n_probe
+
+        def one_z(args):
+            o, d, zz, vv, ff = args
+            rgb_map, _, _, _ = render_rays_z(
+                field, params, o, d, z=zz, valid=vv, occ_far=ff,
+                far=far, dbin=dbin, times=times,
+                grid_binary=grid_binary, grid_spec=grid_spec,
+                bg_color=bg_color, train=False, max_level=max_level)
+            return rgb_map
+
+        rgb = jax.lax.map(one_z, (ro, rd, zp, vp, fp))
+        return rgb.reshape(n_chunks * chunk, 3)[:n]
 
     if cdf is not None:
         idx, n_occ, occ_far = cdf

@@ -58,7 +58,7 @@ class ImageRenderer:
         # `field.blended_field` as the field together with
         # `field.blend_params` as blend.
         self._blend = blend
-        if sampling not in ("dense", "interval", "cdf"):
+        if sampling not in ("dense", "interval", "cdf", "importance"):
             raise ValueError(f"unknown sampling mode: {sampling}")
         self.sampling = sampling
         # Multi-chip eval: rays shard over the mesh (the embarrassingly
@@ -114,9 +114,21 @@ class ImageRenderer:
                 cdf=(idx, n_occ, occ_far), n_probe=interval_probes,
                 max_level=max_level)
 
+        def _render_flat_z(params, rays_o, rays_d, z, valid, occ_far,
+                           time_scalar, grid_binary, bg):
+            return render_image(
+                field, params, rays_o, rays_d,
+                near=near, far=far, n_samples=n_samples, chunk=chunk,
+                time_scalar=time_scalar,
+                grid_binary=grid_binary if fine_mask else None,
+                grid_spec=grid_spec, bg_color=bg,
+                zs=(z, valid, occ_far), n_probe=interval_probes,
+                max_level=max_level)
+
         sharded_flat = _shard_rays(_render_flat, 2)
         sharded_flat_iv = _shard_rays(_render_flat_iv, 4)
         sharded_flat_cdf = _shard_rays(_render_flat_cdf, 5)
+        sharded_flat_z = _shard_rays(_render_flat_z, 5)
         pad_to = self._n_dev * chunk if mesh is not None else chunk
 
         @partial(jax.jit, static_argnames=())
@@ -169,12 +181,34 @@ class ImageRenderer:
                                    time_scalar, grid_binary, bg)
             return rgb[:n]
 
+        @partial(jax.jit, static_argnames=())
+        def _render_importance(params, rays_o_img, rays_d_img, time_scalar,
+                               grid_binary, grid_density, bg):
+            from ..render.intervals import image_importance_cdf
+            z, valid, occ_far = image_importance_cdf(
+                grid_binary, grid_density, grid_spec, rays_o_img,
+                rays_d_img, near, far, n_samples, block=interval_block,
+                n_probe=interval_probes, dilate=interval_dilate)
+            n = rays_o_img.shape[0] * rays_o_img.shape[1]
+            pad = -n % pad_to
+            ro = jnp.pad(rays_o_img.reshape(-1, 3), ((0, pad), (0, 0)))
+            rd = jnp.pad(rays_d_img.reshape(-1, 3), ((0, pad), (0, 0)),
+                         constant_values=1.0)
+            zp = jnp.pad(z.reshape(-1, n_samples), ((0, pad), (0, 0)))
+            vp = jnp.pad(valid.reshape(-1), (0, pad))
+            fp = jnp.pad(occ_far.reshape(-1), (0, pad))
+            rgb = sharded_flat_z(params, ro, rd, zp, vp, fp,
+                                 time_scalar, grid_binary, bg)
+            return rgb[:n]
+
         self._render = _render
         self._render_interval = _render_interval
         self._render_cdf = _render_cdf
+        self._render_importance = _render_importance
 
     def __call__(self, params, rays_o, rays_d, *, time=None,
-                 grid_binary=None, bg_color=None) -> jnp.ndarray:
+                 grid_binary=None, grid_density=None,
+                 bg_color=None) -> jnp.ndarray:
         h_w = rays_o.shape[:-1]
         t = None if not self.field.needs_time else jnp.float32(
             0.0 if time is None else time)
@@ -182,7 +216,11 @@ class ImageRenderer:
             params = self._blend(params, t)
         bg = jnp.ones((3,), jnp.float32) if bg_color is None \
             else jnp.asarray(bg_color, jnp.float32)
-        if (self.sampling == "cdf" and grid_binary is not None
+        if (self.sampling == "importance" and grid_binary is not None
+                and grid_density is not None and len(h_w) == 2):
+            rgb = self._render_importance(params, rays_o, rays_d, t,
+                                          grid_binary, grid_density, bg)
+        elif (self.sampling == "cdf" and grid_binary is not None
                 and len(h_w) == 2):
             rgb = self._render_cdf(params, rays_o, rays_d, t,
                                    grid_binary, bg)
@@ -197,7 +235,8 @@ class ImageRenderer:
 
 
 def evaluate_split(field, params, dataset, renderer: ImageRenderer, *,
-                   grid_binary=None, bg_color=None, indices=None,
+                   grid_binary=None, grid_density=None, bg_color=None,
+                   indices=None,
                    save_dir: Optional[str] = None, name_fn=None):
     """Render a dataset split and return (avg_psnr, per_image_psnrs).
 
@@ -215,7 +254,8 @@ def evaluate_split(field, params, dataset, renderer: ImageRenderer, *,
             rays_o, rays_d, target = out
             t = None
         pred = renderer(params, rays_o, rays_d, time=t,
-                        grid_binary=grid_binary, bg_color=bg_color)
+                        grid_binary=grid_binary, grid_density=grid_density,
+                        bg_color=bg_color)
         pred = jnp.clip(pred, 0.0, 1.0)
         mse = float(jnp.mean((pred - target) ** 2))
         p = compute_psnr(mse)

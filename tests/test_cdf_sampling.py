@@ -139,3 +139,66 @@ def test_cdf_mode_dynamic_field_smoke(rng_key):
         params, ro, rd, time=0.3, grid_binary=binary)
     assert out.shape == (H, W, 3)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_importance_cdf_concentrates_at_surface():
+    """With a high-density slab at known depth, most samples must land
+    near the slab entry; occupied bins elsewhere keep floor coverage."""
+    from nerf_tpu.render.intervals import image_importance_cdf
+    r = 32
+    spec = DensityGridSpec(resolution=r, bound=1.5, threshold=0.01)
+    lin = np.linspace(-1.5, 1.5, r, dtype=np.float32)
+    occ = np.abs(lin) <= 1.4                       # nearly all occupied
+    binary = jnp.asarray(np.broadcast_to(occ[:, None, None], (r, r, r)))
+    # opaque wall at x in [0.0, 0.2]; elsewhere tiny density
+    dens = np.where((lin >= 0.0) & (lin <= 0.2), 50.0, 0.02).astype(
+        np.float32)
+    density = jnp.asarray(np.broadcast_to(dens[:, None, None], (r, r, r)))
+
+    ro, rd = _axis_rays(8, 8)                      # x = 3 - z
+    near, far, P, k = 0.5, 5.5, 128, 16
+    z, valid, occ_far = image_importance_cdf(
+        binary, density, spec, ro, rd, near, far, k,
+        block=2, n_probe=P, dilate=0, floor=0.1)
+    assert bool(valid[0, 0])
+    zs = np.asarray(z[0, 0])
+    assert np.all(np.diff(zs) >= -1e-5), "samples must be ascending"
+    x = 3.0 - zs
+    # wall entry at x=0.2 <-> z=2.8; most samples near the wall
+    near_wall = np.sum((x >= -0.3) & (x <= 0.5))
+    assert near_wall >= k * 0.6, f"only {near_wall}/{k} samples near wall"
+    # floor keeps coverage before the wall (the visible approach region)
+    assert np.any(x > 0.6), "no floor coverage in the approach region"
+
+
+def test_importance_render_close_to_dense(rng_key):
+    """Full ImageRenderer importance mode vs dense masked on the sphere
+    scene, at a small budget (the sphere's density grid profile)."""
+    field = build_field(CFG)
+    params = jax.jit(field.init)(rng_key)
+    spec = DensityGridSpec(resolution=32, bound=1.5, threshold=0.01)
+    lin = np.linspace(-1.5, 1.5, 32, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
+    inside = (xx**2 + yy**2 + zz**2) < 0.8**2
+    binary = jnp.asarray(inside)
+    # density profile: query the actual field at the grid centers so the
+    # importance weights reflect the true sigma
+    pts = jnp.asarray(np.stack([xx, yy, zz], -1).reshape(-1, 3))
+    dirs0 = jnp.zeros_like(pts)
+    _, sig = field.apply(params, pts, dirs0)
+    density = sig.reshape(32, 32, 32) * binary
+
+    H = W = 24
+    dirs = camera_directions(H, W, 0.5 * W / np.tan(0.35))
+    pose = jnp.eye(4).at[0, 3].set(3.0).at[:3, :3].set(
+        jnp.asarray([[0., 0., 1.], [0., 1., 0.], [-1., 0., 0.]]))
+    ro, rd = rays_from_pose(dirs, pose)
+
+    kw = dict(near=1.0, far=5.0, chunk=256, grid_spec=spec)
+    dense = ImageRenderer(field, n_samples=192, **kw)(
+        params, ro, rd, grid_binary=binary)
+    imp = ImageRenderer(field, n_samples=48, sampling="importance",
+                        interval_probes=192, **kw)(
+        params, ro, rd, grid_binary=binary, grid_density=density)
+    err = float(jnp.mean(jnp.abs(dense - imp)))
+    assert err < 0.02, f"importance render deviates by mean {err}"

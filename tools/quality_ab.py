@@ -27,19 +27,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def psnr_over_split(renderer, params, dataset, indices, binary):
+def psnr_over_split(renderer, params, dataset, indices, binary,
+                    density=None):
     from nerf_tpu.utils.metrics import compute_psnr
     ps = []
     for i in indices:
         rays_o, rays_d, target = dataset.get_image_rays(i)
-        pred = renderer(params, rays_o, rays_d, grid_binary=binary)
+        pred = renderer(params, rays_o, rays_d, grid_binary=binary,
+                        grid_density=density)
         pred = jnp.clip(pred, 0.0, 1.0)
         mse = float(jnp.mean((pred - target) ** 2))
         ps.append(compute_psnr(mse))
     return float(np.mean(ps))
 
 
-def fps_at_800(renderer, params, binary, n_frames=3):
+def fps_at_800(renderer, params, binary, density=None, n_frames=3):
     from nerf_tpu.render.rays import (camera_directions, orbit_poses,
                                       rays_from_pose)
     H = W = 800
@@ -49,10 +51,12 @@ def fps_at_800(renderer, params, binary, n_frames=3):
     make_rays = jax.jit(lambda p: rays_from_pose(dirs, p))
     rays = [make_rays(jnp.asarray(p)) for p in poses]
     digest = jax.jit(lambda *im: sum(jnp.sum(i[::63, ::63]) for i in im))
-    img = renderer(params, rays[0][0], rays[0][1], grid_binary=binary)
+    img = renderer(params, rays[0][0], rays[0][1], grid_binary=binary,
+                   grid_density=density)
     float(digest(img))
     t0 = time.perf_counter()
-    frames = [renderer(params, rays[i][0], rays[i][1], grid_binary=binary)
+    frames = [renderer(params, rays[i][0], rays[i][1], grid_binary=binary,
+                       grid_density=density)
               for i in range(1, 1 + n_frames)]
     float(digest(*frames))
     return n_frames / (time.perf_counter() - t0)
@@ -103,11 +107,14 @@ def main():
 
     rows = []
 
-    def add(name, renderer, p=params):
+    density = grid_state["grid"] if grid_state else None
+
+    def add(name, renderer, p=params, dens=None):
         if args.only and args.only not in name:
             return
-        psnr = psnr_over_split(renderer, p, test_set, idxs, binary)
-        fps = fps_at_800(renderer, p, binary) if args.fps else float("nan")
+        psnr = psnr_over_split(renderer, p, test_set, idxs, binary, dens)
+        fps = fps_at_800(renderer, p, binary, dens) if args.fps \
+            else float("nan")
         rows.append((name, psnr, fps))
         print(f"{name:44s}  PSNR {psnr:6.2f} dB   FPS {fps:6.2f}")
 
@@ -125,6 +132,12 @@ def main():
         add(f"cdf k={k}",
             ImageRenderer(field, n_samples=k, sampling="cdf", **common))
 
+    # 2b. importance placement (density-weighted probes)
+    for k in (12, 16, 24):
+        add(f"importance k={k}",
+            ImageRenderer(field, n_samples=k, sampling="importance",
+                          **common), dens=density)
+
     # 3. LOD sweep at k=32
     n_levels = cfg.get("n_levels", 16)
     for ml in (n_levels - 6, n_levels - 4):
@@ -138,7 +151,8 @@ def main():
     # to 512^3 in the old layout.
     for res, qdtype, qname in ((256, jnp.int8, "int8"),
                                (384, jnp.int8, "int8")):
-        names = [f"baked {res}^3 {qname}, cdf k={k}" for k in (24, 32)]
+        names = [f"baked {res}^3 {qname}, cdf k={k}" for k in (24, 32)] \
+            + [f"baked {res}^3 {qname}, imp k={k}" for k in (12, 16, 24)]
         if args.only and not any(args.only in n for n in names):
             continue
         bspec = BakedSpec(resolution=res, bound=cfg.get("scene_bound", 1.5))
@@ -155,6 +169,11 @@ def main():
             add(f"baked {res}^3 {qname}, cdf k={k}",
                 ImageRenderer(bfield, n_samples=k, sampling="cdf",
                               fine_mask=False, **common), p=baked)
+        for k in (12, 16, 24):
+            add(f"baked {res}^3 {qname}, imp k={k}",
+                ImageRenderer(bfield, n_samples=k, sampling="importance",
+                              fine_mask=False, **common), p=baked,
+                dens=density)
 
     lines = ["| render path | test PSNR (dB) | 800x800 FPS |",
              "|---|---|---|"]

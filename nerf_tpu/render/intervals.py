@@ -177,7 +177,8 @@ def image_importance_cdf(binary: jnp.ndarray, density: jnp.ndarray,
                          rays_o: jnp.ndarray, rays_d: jnp.ndarray,
                          near: float, far: float, k: int, *,
                          block: int = 4, n_probe: int = 128,
-                         dilate: int = 1, floor: float = 0.1):
+                         dilate: int = 1, floor: float = 0.1,
+                         temper: float = 0.5):
     """Per-pixel inverse-CDF sample placement weighted by the density
     grid's TRANSMITTANCE profile.
 
@@ -231,7 +232,15 @@ def image_importance_cdf(binary: jnp.ndarray, density: jnp.ndarray,
     trans = jnp.concatenate(
         [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
     w_vis = alpha * trans * occ.astype(jnp.float32)
+    # Tempering (w^temper, temper<1) flattens the profile: the coarse-grid
+    # transmittance is over-sharp (a voxel the grid marks opaque absorbs
+    # the whole budget into one bin, and the z-diff compositing distances
+    # then underestimate the clustered samples' opacity). Measured without
+    # tempering: 4-6 dB WORSE than the uniform occupancy CDF at k<=16.
+    w_vis = jnp.power(jnp.maximum(w_vis, 0.0), temper)
     n_occ = jnp.sum(occ.astype(jnp.float32), axis=-1, keepdims=True)
+    wsum = jnp.sum(w_vis, axis=-1, keepdims=True)
+    w_vis = w_vis / jnp.maximum(wsum, 1e-12)
     wght = w_vis + floor * occ.astype(jnp.float32) / jnp.maximum(n_occ, 1.0)
 
     c = jnp.cumsum(wght, axis=-1)                           # [hc, wc, P]

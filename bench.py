@@ -22,6 +22,8 @@ import numpy as np
 
 
 def main():
+    from nerf_tpu import enable_compile_cache
+    enable_compile_cache()
     from nerf_tpu.models import build_field
     from nerf_tpu.render.density_grid import DensityGridSpec
     from nerf_tpu.render.rays import camera_directions, orbit_poses, \

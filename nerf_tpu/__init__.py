@@ -9,15 +9,23 @@ hash-grid hot path, and `jax.sharding` data parallelism over the ray axis.
 
 __version__ = "0.1.0"
 
-import os as _os
 
-if not _os.environ.get("NERF_TPU_NO_COMPILE_CACHE"):
-    # Persistent XLA compilation cache: the render/train programs take
-    # minutes to compile (remote TPU compile service + single host core);
-    # caching makes every rerun of an unchanged program near-free. Opt out
-    # with NERF_TPU_NO_COMPILE_CACHE=1.
-    import jax as _jax
+def enable_compile_cache(cache_dir: str = "~/.jax_cache") -> None:
+    """Enable JAX's persistent compilation cache.
 
-    _jax.config.update("jax_compilation_cache_dir",
-                       _os.path.expanduser("~/.jax_cache"))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    The render/train programs take minutes to compile (remote TPU compile
+    service + single host core); caching makes every rerun of an unchanged
+    program near-free. Called by the CLI entrypoints (run.py, bench.py,
+    tools/) rather than at import time, so embedding processes importing
+    nerf_tpu as a library do not inherit a mutated global JAX config.
+    Opt out with NERF_TPU_NO_COMPILE_CACHE=1.
+    """
+    import os
+
+    if os.environ.get("NERF_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

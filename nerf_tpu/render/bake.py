@@ -101,11 +101,13 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
     nc = spec.cells_per_axis
     table_bytes = spec.n_cells * _LANES * jnp.dtype(dtype).itemsize
     if table_bytes > _MAX_TABLE_BYTES:
+        hint = ("use a smaller resolution"
+                if dtype == jnp.int8
+                else "use a smaller resolution or dtype=jnp.int8")
         raise ValueError(
             f"baked table would be {table_bytes/2**30:.1f} GiB at "
             f"resolution {r} ({jnp.dtype(dtype).name}); it must fit HBM "
-            f"next to the render working set — use a smaller resolution "
-            f"or int8")
+            f"next to the render working set — {hint}")
     dec = params["decoder"]
 
     lin = jnp.asarray(_vertex_positions(spec))

@@ -50,7 +50,8 @@ class ImageRenderer:
                  fine_mask: bool = True,
                  max_level: Optional[int] = None,
                  blend: Optional[callable] = None,
-                 mesh=None, mesh_axis: str = "data"):
+                 mesh=None, mesh_axis: str = "data",
+                 experimental: bool = False):
         self.field = field
         self.grid_spec = grid_spec
         # Per-frame parameter specialization (part4 tri-grid blending):
@@ -60,6 +61,13 @@ class ImageRenderer:
         self._blend = blend
         if sampling not in ("dense", "interval", "cdf", "importance"):
             raise ValueError(f"unknown sampling mode: {sampling}")
+        if sampling == "importance" and not experimental:
+            # Measured 4-6 dB WORSE than the occupancy CDF at equal budget
+            # (AB_RESULTS.md); a config typo must not silently ship it.
+            raise ValueError(
+                "sampling='importance' is experimental (loses 4-6 dB vs "
+                "'cdf' at equal budget, see AB_RESULTS.md); pass "
+                "experimental=True to use it anyway")
         self.sampling = sampling
         # Multi-chip eval: rays shard over the mesh (the embarrassingly
         # parallel axis), params/grid replicated, no collectives — each
@@ -216,6 +224,17 @@ class ImageRenderer:
             params = self._blend(params, t)
         bg = jnp.ones((3,), jnp.float32) if bg_color is None \
             else jnp.asarray(bg_color, jnp.float32)
+        if self.sampling != "dense" and grid_binary is None:
+            # Sparse modes need the occupancy grid; falling back silently
+            # to dense stratified rendering with the (small) sparse budget
+            # would produce badly undersampled images.
+            raise ValueError(
+                f"sampling='{self.sampling}' requires grid_binary; render "
+                f"with the dense mode or pass the occupancy grid")
+        if self.sampling == "importance" and grid_density is None:
+            raise ValueError(
+                "sampling='importance' requires grid_density (the density "
+                "grid's values, not just the binary mask)")
         if (self.sampling == "importance" and grid_binary is not None
                 and grid_density is not None and len(h_w) == 2):
             rgb = self._render_importance(params, rays_o, rays_d, t,

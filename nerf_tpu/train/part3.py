@@ -291,11 +291,13 @@ def run_part3(cfg: dict, args) -> None:
               f"{os.path.join(log_dir, 'tensorboard')}")
 
         # Occupancy-CDF validation renders when a grid exists (see
-        # _part3_eval); dense masked otherwise.
+        # _part3_eval); dense masked otherwise. val_n_samples defaults to
+        # 64: within ~0.2 dB of the dense metric, so best-ckpt selection
+        # tracks the reported test PSNR (reference: run.py:1252-1338).
         if grid_state is not None:
             val_renderer = ImageRenderer(
                 field, near=near, far=far,
-                n_samples=cfg.get("render_ray_budget", 32),
+                n_samples=int(cfg.get("val_n_samples", 64)),
                 chunk=min(chunk, 65536), grid_spec=grid_spec,
                 sampling="cdf")
         else:

@@ -95,6 +95,11 @@ def make_part4_train_step(cfg: dict, field, tx, data, *, H, W, focal,
     unsup_weight = cfg.get("unsup_consistency_weight", 0.001)
     use_static_anchor = cfg.get("use_static_anchor", True)
     static_anchor_weight = cfg.get("static_anchor_weight", 0.01)
+    # Sample counts for the cadenced regularizers (reference: run.py:1866,
+    # 1887, 1908 draw temporal/unsup/anchor batches of these sizes).
+    temporal_ns = int(cfg.get("temporal_n_samples", 256))
+    unsup_ns = int(cfg.get("unsup_n_samples", 512))
+    anchor_ns = int(cfg.get("static_anchor_n_samples", 512))
     grid_warmup_iters = cfg.get("grid_warmup_iters", 256)
     via_grid = field.deform_delta_via_grid
 
@@ -157,10 +162,10 @@ def make_part4_train_step(cfg: dict, field, tx, data, *, H, W, focal,
             if use_temporal_smooth:
                 def t_loss():
                     x = jax.random.uniform(
-                        rs[3], (64, 3), minval=-scene_bound,
+                        rs[3], (temporal_ns, 3), minval=-scene_bound,
                         maxval=scene_bound)
                     t0 = jax.random.uniform(
-                        rs[4], (64, 1),
+                        rs[4], (temporal_ns, 1),
                         maxval=1.0 - temporal_epsilon)
                     d0 = via_grid(p, "deform_grid_start", x, t0)
                     d1 = via_grid(p, "deform_grid_start", x,
@@ -176,9 +181,9 @@ def make_part4_train_step(cfg: dict, field, tx, data, *, H, W, focal,
             loss_unsup = 0.0
             if use_unsup:
                 def u_loss():
-                    t_r = jax.random.uniform(rs[5], (128, 1))
+                    t_r = jax.random.uniform(rs[5], (unsup_ns, 1))
                     x_r = jax.random.uniform(
-                        rs[6], (128, 3), minval=-scene_bound,
+                        rs[6], (unsup_ns, 3), minval=-scene_bound,
                         maxval=scene_bound)
                     d_r = via_grid(p, "deform_grid_start", x_r, t_r)
                     return jnp.mean(jnp.abs(d_r.mean(axis=0))) \
@@ -194,13 +199,13 @@ def make_part4_train_step(cfg: dict, field, tx, data, *, H, W, focal,
             if use_static_anchor:
                 def a_loss():
                     x_a = jax.random.uniform(
-                        rs[7], (128, 3), minval=-scene_bound,
+                        rs[7], (anchor_ns, 3), minval=-scene_bound,
                         maxval=scene_bound)
-                    t_zero = jnp.zeros((128, 1))
+                    t_zero = jnp.zeros((anchor_ns, 1))
                     d_zero = via_grid(p, "deform_grid_start",
                                       x_a, t_zero)
                     loss_start = jnp.mean(d_zero ** 2)
-                    t_a = jnp.full((128, 1), 1.0 / 6.0)
+                    t_a = jnp.full((anchor_ns, 1), 1.0 / 6.0)
                     d_s = via_grid(p, "deform_grid_start", x_a, t_a)
                     d_m = via_grid(p, "deform_grid_mid", x_a, t_a)
                     loss_cons = jnp.mean((d_s - d_m) ** 2) * 0.1
@@ -384,11 +389,13 @@ def run_part4(cfg: dict, args) -> None:
 
         # Validation renders go through the occupancy-CDF sampler when a
         # grid exists (same as eval): dense 128-sample rendering of the val
-        # split costs minutes per pass at reference scale.
+        # split costs minutes per pass at reference scale. val_n_samples
+        # defaults to 64 — within ~0.2 dB of the dense metric — so
+        # best-ckpt selection tracks the reported test PSNR.
         if grid_state is not None:
             val_renderer = ImageRenderer(
                 field.blended_field, near=near, far=far,
-                n_samples=cfg.get("render_ray_budget", 32),
+                n_samples=int(cfg.get("val_n_samples", 64)),
                 chunk=min(chunk, 65536), grid_spec=grid_spec,
                 sampling="cdf", blend=field.blend_params)
         else:

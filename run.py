@@ -26,6 +26,9 @@ if os.environ.get("JAX_PLATFORMS"):
 
 
 def main():
+    from nerf_tpu import enable_compile_cache
+    enable_compile_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--image", type=str,
                         help="input image path (Part 1)")

@@ -198,6 +198,7 @@ def test_importance_render_close_to_dense(rng_key):
     dense = ImageRenderer(field, n_samples=192, **kw)(
         params, ro, rd, grid_binary=binary)
     imp = ImageRenderer(field, n_samples=48, sampling="importance",
+                        experimental=True,
                         interval_probes=192, **kw)(
         params, ro, rd, grid_binary=binary, grid_density=density)
     err = float(jnp.mean(jnp.abs(dense - imp)))

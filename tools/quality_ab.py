@@ -135,7 +135,7 @@ def main():
     # 2b. importance placement (density-weighted probes)
     for k in (12, 16, 24):
         add(f"importance k={k}",
-            ImageRenderer(field, n_samples=k, sampling="importance",
+            ImageRenderer(field, n_samples=k, sampling="importance", experimental=True,
                           **common), dens=density)
 
     # 3. LOD sweep at k=32
@@ -171,7 +171,7 @@ def main():
                               fine_mask=False, **common), p=baked)
         for k in (12, 16, 24):
             add(f"baked {res}^3 {qname}, imp k={k}",
-                ImageRenderer(bfield, n_samples=k, sampling="importance",
+                ImageRenderer(bfield, n_samples=k, sampling="importance", experimental=True,
                               fine_mask=False, **common), p=baked,
                 dens=density)
 

@@ -73,12 +73,34 @@ def _trace_sphere(pose: np.ndarray, H: int, W: int, focal: float,
 # MLP to learn).
 # --------------------------------------------------------------------------
 
-def _lego_proxy_primitives(t: float = 0.0, dynamic: bool = False):
+def _lego_proxy_primitives(t: float = 0.0, dynamic: bool = False,
+                           motion: str = "smooth"):
     """Scene description (z-up, Blender convention); `t` animates two
-    objects when `dynamic`."""
-    dx = 0.45 * np.sin(2 * np.pi * t) if dynamic else 0.0
-    dy = 0.25 * np.sin(4 * np.pi * t) if dynamic else 0.0
-    bob = 0.18 * np.abs(np.sin(2 * np.pi * t)) if dynamic else 0.0
+    objects when `dynamic`.
+
+    motion="smooth" (default): half-cycle sin(pi t) displacements — the
+    D-NeRF benchmark class (the reference's Standup is smooth, roughly
+    monotonic motion; reference: README.md:13-14). A 3-anchor tri-grid
+    (t = 0, 0.5, 1) can represent this: displacements peak at the mid
+    anchor.
+
+    motion="fast" (the round-1/2 scene): sin(2*pi*t) / sin(4*pi*t)
+    displacements — dy completes TWO full cycles in t in [0,1], which NO
+    3-anchor triangle interpolation can represent (the anchors all see
+    dy = 0); kept as the stress variant.
+    """
+    if not dynamic:
+        dx = dy = bob = 0.0
+    elif motion == "smooth":
+        dx = 0.45 * np.sin(np.pi * t)
+        dy = 0.125 * (1.0 - np.cos(np.pi * t))      # monotonic 0 -> 0.25
+        bob = 0.18 * np.sin(np.pi * t)
+    elif motion == "fast":
+        dx = 0.45 * np.sin(2 * np.pi * t)
+        dy = 0.25 * np.sin(4 * np.pi * t)
+        bob = 0.18 * np.abs(np.sin(2 * np.pi * t))
+    else:
+        raise ValueError(f"unknown motion: {motion}")
     return [
         # (kind, geometry, texture, shininess); ground plate then objects
         ("box", (np.array([-1.25, -1.25, -1.05]),
@@ -168,9 +190,10 @@ _LIGHT = np.array([0.45, 0.35, 1.0]) / np.linalg.norm([0.45, 0.35, 1.0])
 
 
 def _trace_lego_proxy(pose: np.ndarray, H: int, W: int, focal: float,
-                      t: float = 0.0, dynamic: bool = False) -> np.ndarray:
+                      t: float = 0.0, dynamic: bool = False,
+                      motion: str = "smooth") -> np.ndarray:
     """Analytic RGBA render (shadows + Phong specular) of the proxy scene."""
-    prims = _lego_proxy_primitives(t, dynamic)
+    prims = _lego_proxy_primitives(t, dynamic, motion)
     j, i = np.meshgrid(np.arange(H, dtype=np.float32),
                        np.arange(W, dtype=np.float32), indexing="ij")
     dirs = np.stack([(i - W * 0.5) / focal,
@@ -239,6 +262,7 @@ def make_lego_proxy_scene(
     dynamic: bool = False,
     cam_radius: float = 4.0,
     seed: int = 0,
+    motion: str = "smooth",
 ) -> str:
     """Write a NeRF-Synthetic-scale procedural scene under `root`.
 
@@ -277,7 +301,8 @@ def make_lego_proxy_scene(
             pose4 = np.eye(4, dtype=np.float32)
             pose4[:3, 3] = rot @ pose[:3, 3]
             pose4[:3, :3] = rot @ pose[:3, :3]
-            img = _trace_lego_proxy(pose4, H, W, focal, t, dynamic)
+            img = _trace_lego_proxy(pose4, H, W, focal, t, dynamic,
+                                    motion)
             Image.fromarray((img * 255).astype(np.uint8), "RGBA").save(
                 os.path.join(split_dir, f"r_{k}.png"))
             frame = {"file_path": f"./{split}/r_{k}",

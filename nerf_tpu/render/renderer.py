@@ -355,6 +355,56 @@ def render_rays_interval(
     return rgb_map, depth_map, acc_map, extras
 
 
+def _field_at_z(field, params, rays_o, rays_d, z, *, times, train, rng,
+                max_level, grid_binary=None, grid_spec=None):
+    """Evaluate `field` at per-ray depths z [R, k].
+
+    Shared sample-evaluation core of the sparse render paths (cdf / z /
+    hier): point/dir/time broadcast + flatten, field apply, fp32 cast, and
+    the optional per-sample occupancy masking. Returns
+    (rgb [R,k,3], sigma [R,k], delta [R,k,3]|None) fp32.
+    """
+    n_rays, k = z.shape
+    dynamic = field.needs_time
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
+    view_dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    view_dirs = jnp.broadcast_to(view_dirs[:, None, :], (n_rays, k, 3))
+
+    n_pts = n_rays * k
+    pts_flat = pts.reshape(n_pts, 3)
+    dirs_flat = view_dirs.reshape(n_pts, 3)
+    if dynamic:
+        if times is None:
+            times = jnp.zeros((n_rays, 1), jnp.float32)
+        times_flat = jnp.broadcast_to(
+            times[:, None, :], (n_rays, k, 1)).reshape(n_pts, 1)
+        rgb, sigma, delta = field.apply(params, pts_flat, dirs_flat,
+                                        times_flat, train=train, rng=rng,
+                                        max_level=max_level)
+    else:
+        rgb, sigma = field.apply(params, pts_flat, dirs_flat,
+                                 train=train, rng=rng, max_level=max_level)
+        delta = None
+
+    rgb = rgb.astype(jnp.float32).reshape(n_rays, k, 3)
+    sigma = sigma.astype(jnp.float32).reshape(n_rays, k)
+    if grid_binary is not None:
+        fine = grid_active_mask(grid_binary, pts_flat, grid_spec)
+        sigma = sigma * fine.reshape(n_rays, k).astype(jnp.float32)
+    if delta is not None:
+        delta = delta.astype(jnp.float32).reshape(n_rays, k, 3)
+    return rgb, sigma, delta
+
+
+def _composite_extras(rgb, sigma, z, rays_d, bg_color, dists, delta):
+    rgb_map, depth_map, acc_map, weights = composite(
+        rgb, sigma, z, rays_d, bg_color=bg_color, dists=dists)
+    extras = {}
+    if delta is not None:
+        extras["mean_delta_x"] = jnp.sum(weights[..., None] * delta, axis=1)
+    return rgb_map, depth_map, acc_map, weights, extras
+
+
 def render_rays_cdf(
     field,
     params,
@@ -392,7 +442,6 @@ def render_rays_cdf(
     dense masked path) are never evaluated.
     """
     n_rays, k = idx.shape
-    dynamic = field.needs_time
     if bg_color is None:
         bg_color = jnp.ones((3,), jnp.float32)
     dbin = (far - near) / n_probe
@@ -403,35 +452,11 @@ def render_rays_cdf(
         u = 0.5
     z = near + (idx.astype(jnp.float32) + u) * dbin          # [R, k]
 
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    view_dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    view_dirs = jnp.broadcast_to(view_dirs[:, None, :], (n_rays, k, 3))
-
-    n_pts = n_rays * k
-    pts_flat = pts.reshape(n_pts, 3)
-    dirs_flat = view_dirs.reshape(n_pts, 3)
-    times_flat = None
-    if dynamic:
-        if times is None:
-            times = jnp.zeros((n_rays, 1), jnp.float32)
-        times_flat = jnp.broadcast_to(
-            times[:, None, :], (n_rays, k, 1)).reshape(n_pts, 1)
-
-    if dynamic:
-        rgb, sigma, delta = field.apply(params, pts_flat, dirs_flat,
-                                        times_flat, train=train, rng=rng,
-                                        max_level=max_level)
-    else:
-        rgb, sigma = field.apply(params, pts_flat, dirs_flat,
-                                 train=train, rng=rng, max_level=max_level)
-        delta = None
-
-    rgb = rgb.astype(jnp.float32).reshape(n_rays, k, 3)
-    sigma = sigma.astype(jnp.float32).reshape(n_rays, k)
+    rgb, sigma, delta = _field_at_z(
+        field, params, rays_o, rays_d, z, times=times, train=train,
+        rng=rng, max_level=max_level, grid_binary=grid_binary,
+        grid_spec=grid_spec)
     sigma = sigma * (n_occ > 0).astype(jnp.float32)[:, None]
-    if grid_binary is not None:
-        fine = grid_active_mask(grid_binary, pts_flat, grid_spec)
-        sigma = sigma * fine.reshape(n_rays, k).astype(jnp.float32)
 
     norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     dist = (n_occ * dbin / k)[:, None]                       # [R, 1]
@@ -439,13 +464,154 @@ def render_rays_cdf(
     last = jnp.where(occ_far, 1e10, dists[:, -1])
     dists = jnp.concatenate([dists[:, :-1], last[:, None]], axis=1) * norm
 
-    rgb_map, depth_map, acc_map, weights = composite(
-        rgb, sigma, z, rays_d, bg_color=bg_color, dists=dists)
+    rgb_map, depth_map, acc_map, _, extras = _composite_extras(
+        rgb, sigma, z, rays_d, bg_color, dists, delta)
+    return rgb_map, depth_map, acc_map, extras
 
-    extras = {}
-    if dynamic and delta is not None:
-        delta = delta.astype(jnp.float32).reshape(n_rays, k, 3)
-        extras["mean_delta_x"] = jnp.sum(weights[..., None] * delta, axis=1)
+
+def _resample_from_weights(z: jnp.ndarray, weights: jnp.ndarray,
+                           k_fine: int, *, floor: float = 0.01,
+                           rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Inverse-CDF resampling of `k_fine` depths from per-coarse-sample
+    weights (classic NeRF hierarchical sampling, lane-arithmetic only).
+
+    Bins are the z-intervals around each coarse sample (edges at neighbor
+    midpoints); the pdf is weights + floor·mean so every bin stays
+    reachable. Deterministic mid-quantile placement unless `rng` is given.
+    Returns z_fine [R, k_fine] (unsorted within the merged set).
+    """
+    n_rays, k = z.shape
+    mids = 0.5 * (z[:, 1:] + z[:, :-1])
+    lo = jnp.concatenate(
+        [z[:, :1] - (mids[:, :1] - z[:, :1]), mids], axis=1)
+    hi = jnp.concatenate(
+        [mids, z[:, -1:] + (z[:, -1:] - mids[:, -1:])], axis=1)
+
+    w = weights + floor * (jnp.mean(weights, axis=1, keepdims=True) + 1e-8)
+    c = jnp.cumsum(w, axis=1)                                # [R, k]
+    total = c[:, -1:]
+
+    iota = jnp.arange(k, dtype=jnp.int32)
+    if rng is not None:
+        u_all = jax.random.uniform(rng, (n_rays, k_fine), jnp.float32)
+    else:
+        u_all = None
+    cols = []
+    for j in range(k_fine):
+        uj = ((j + 0.5) / k_fine if u_all is None
+              else (j + u_all[:, j]) / k_fine)
+        u = uj * total[:, 0]                                 # [R]
+        b = jnp.sum((c < u[:, None]).astype(jnp.int32), axis=1)
+        b = jnp.minimum(b, k - 1)
+        onehot = (iota[None, :] == b[:, None])
+        c_prev = jnp.sum(jnp.where(onehot, c - w, 0.0), axis=1)
+        w_b = jnp.sum(jnp.where(onehot, w, 0.0), axis=1)
+        z_lo = jnp.sum(jnp.where(onehot, lo, 0.0), axis=1)
+        z_hi = jnp.sum(jnp.where(onehot, hi, 0.0), axis=1)
+        frac = jnp.clip((u - c_prev) / jnp.maximum(w_b, 1e-12), 0.0, 1.0)
+        cols.append(z_lo + frac * (z_hi - z_lo))
+    return jnp.stack(cols, axis=1)                           # [R, k_fine]
+
+
+def render_rays_hier(
+    field,
+    params,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    *,
+    idx: jnp.ndarray,
+    n_occ: jnp.ndarray,
+    occ_far: jnp.ndarray,
+    near: float,
+    far: float,
+    n_probe: int,
+    k_fine: int,
+    perturb: bool = False,
+    rng: Optional[jax.Array] = None,
+    times: Optional[jnp.ndarray] = None,
+    grid_binary: Optional[jnp.ndarray] = None,
+    grid_spec: Optional[DensityGridSpec] = None,
+    bg_color: Optional[jnp.ndarray] = None,
+    train: bool = False,
+    max_level: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
+    """Two-pass hierarchical rendering over occupancy-CDF coarse samples.
+
+    Pass 1 evaluates the field at the k1 = idx.shape[1] occupancy-CDF
+    placements (same as render_rays_cdf) and composites for per-sample
+    weights. Pass 2 draws `k_fine` additional depths by inverse-CDF of
+    those weights (the classic NeRF coarse/fine scheme, reference's dense
+    path has no analog — its speed comes from CUDA compaction), evaluates
+    only the new depths, and composites the merged k1+k_fine set sorted by
+    z with z-difference distances.
+
+    Unlike the experimental "importance" mode (AB_RESULTS.md negative
+    result), the placement pdf comes from the REAL field evaluated at the
+    coarse samples — not from the coarse density grid — so the profile is
+    neither over-sharp nor misregistered. Total field cost is k1+k_fine
+    evaluations; quality target is the dense masked metric at a fraction
+    of its samples.
+    """
+    n_rays, k1 = idx.shape
+    if bg_color is None:
+        bg_color = jnp.ones((3,), jnp.float32)
+    dbin = (far - near) / n_probe
+    valid_ray = (n_occ > 0).astype(jnp.float32)
+
+    r_coarse = r_fine = None
+    if rng is not None:
+        r_coarse, r_fine = jax.random.split(rng)
+
+    if perturb and r_coarse is not None:
+        u = jax.random.uniform(r_coarse, idx.shape, jnp.float32)
+    else:
+        u = 0.5
+    z_c = near + (idx.astype(jnp.float32) + u) * dbin        # [R, k1]
+
+    rgb_c, sigma_c, delta_c = _field_at_z(
+        field, params, rays_o, rays_d, z_c, times=times, train=train,
+        rng=rng, max_level=max_level, grid_binary=grid_binary,
+        grid_spec=grid_spec)
+    sigma_cm = sigma_c * valid_ray[:, None]
+
+    # Coarse weights with the CDF path's measure-preserving dists.
+    norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    dist_c = jnp.broadcast_to((n_occ * dbin / k1)[:, None], (n_rays, k1))
+    alpha_c = 1.0 - jnp.exp(-sigma_cm * dist_c * norm)
+    trans_c = jnp.cumprod(1.0 - alpha_c + 1e-10, axis=-1)
+    trans_c = jnp.concatenate(
+        [jnp.ones_like(trans_c[:, :1]), trans_c[:, :-1]], axis=-1)
+    w_c = jax.lax.stop_gradient(alpha_c * trans_c)
+
+    z_f = _resample_from_weights(z_c, w_c, k_fine,
+                                 rng=r_fine if perturb else None)
+    rgb_f, sigma_f, delta_f = _field_at_z(
+        field, params, rays_o, rays_d, z_f, times=times, train=train,
+        rng=rng, max_level=max_level, grid_binary=grid_binary,
+        grid_spec=grid_spec)
+
+    # Merge the two sets sorted by z. lax.sort with one key and payload
+    # operands is a lane-wise sorting network — no HBM gathers.
+    z_all = jnp.concatenate([z_c, z_f], axis=1)              # [R, k1+k2]
+    rgb_all = jnp.concatenate([rgb_c, rgb_f], axis=1)
+    sigma_all = jnp.concatenate([sigma_cm, sigma_f * valid_ray[:, None]],
+                                axis=1)
+    ops = [z_all, sigma_all] + [rgb_all[..., i] for i in range(3)]
+    if delta_c is not None:
+        delta_all = jnp.concatenate([delta_c, delta_f], axis=1)
+        ops += [delta_all[..., i] for i in range(3)]
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
+    z_s, sigma_s = sorted_ops[0], sorted_ops[1]
+    rgb_s = jnp.stack(sorted_ops[2:5], axis=-1)
+    delta_s = (jnp.stack(sorted_ops[5:8], axis=-1)
+               if delta_c is not None else None)
+
+    diffs = z_s[:, 1:] - z_s[:, :-1]
+    last = jnp.where(occ_far, 1e10, dbin)
+    dists = jnp.concatenate([diffs, last[:, None]], axis=1) * norm
+
+    rgb_map, depth_map, acc_map, _, extras = _composite_extras(
+        rgb_s, sigma_s, z_s, rays_d, bg_color, dists, delta_s)
     return rgb_map, depth_map, acc_map, extras
 
 
@@ -476,53 +642,22 @@ def render_rays_z(
     the dense path's 1e10 catch-all when the ray is occupied through the
     far plane, else one probe-bin width.
     """
-    n_rays, k = z.shape
-    dynamic = field.needs_time
     if bg_color is None:
         bg_color = jnp.ones((3,), jnp.float32)
 
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    view_dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    view_dirs = jnp.broadcast_to(view_dirs[:, None, :], (n_rays, k, 3))
-
-    n_pts = n_rays * k
-    pts_flat = pts.reshape(n_pts, 3)
-    dirs_flat = view_dirs.reshape(n_pts, 3)
-    times_flat = None
-    if dynamic:
-        if times is None:
-            times = jnp.zeros((n_rays, 1), jnp.float32)
-        times_flat = jnp.broadcast_to(
-            times[:, None, :], (n_rays, k, 1)).reshape(n_pts, 1)
-
-    if dynamic:
-        rgb, sigma, delta = field.apply(params, pts_flat, dirs_flat,
-                                        times_flat, train=train, rng=rng,
-                                        max_level=max_level)
-    else:
-        rgb, sigma = field.apply(params, pts_flat, dirs_flat,
-                                 train=train, rng=rng, max_level=max_level)
-        delta = None
-
-    rgb = rgb.astype(jnp.float32).reshape(n_rays, k, 3)
-    sigma = sigma.astype(jnp.float32).reshape(n_rays, k)
+    rgb, sigma, delta = _field_at_z(
+        field, params, rays_o, rays_d, z, times=times, train=train,
+        rng=rng, max_level=max_level, grid_binary=grid_binary,
+        grid_spec=grid_spec)
     sigma = sigma * valid.astype(jnp.float32)[:, None]
-    if grid_binary is not None:
-        fine = grid_active_mask(grid_binary, pts_flat, grid_spec)
-        sigma = sigma * fine.reshape(n_rays, k).astype(jnp.float32)
 
     norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     diffs = z[:, 1:] - z[:, :-1]                            # [R, k-1]
     last = jnp.where(occ_far, 1e10, dbin)
     dists = jnp.concatenate([diffs, last[:, None]], axis=1) * norm
 
-    rgb_map, depth_map, acc_map, weights = composite(
-        rgb, sigma, z, rays_d, bg_color=bg_color, dists=dists)
-
-    extras = {}
-    if dynamic and delta is not None:
-        delta = delta.astype(jnp.float32).reshape(n_rays, k, 3)
-        extras["mean_delta_x"] = jnp.sum(weights[..., None] * delta, axis=1)
+    rgb_map, depth_map, acc_map, _, extras = _composite_extras(
+        rgb, sigma, z, rays_d, bg_color, dists, delta)
     return rgb_map, depth_map, acc_map, extras
 
 
@@ -547,6 +682,7 @@ def render_image(
     cdf: Optional[tuple] = None,
     zs: Optional[tuple] = None,
     n_probe: int = 128,
+    k_fine: int = 0,
     max_level: Optional[int] = None,
 ) -> jnp.ndarray:
     """Render all given rays without perturbation, chunked via `lax.map`.
@@ -558,7 +694,9 @@ def render_image(
         render.intervals.image_intervals) — switches to interval sampling.
       cdf: optional (idx [N,k], n_occ [N], occ_far [N]) occupancy-CDF
         sample placement (render.intervals.image_occupancy_cdf) — switches
-        to render_rays_cdf; n_probe is its z-bin count.
+        to render_rays_cdf; n_probe is its z-bin count. With k_fine > 0
+        the two-pass hierarchical path (render_rays_hier) adds k_fine
+        weight-resampled samples per ray.
       zs: optional (z [N,k], valid [N], occ_far [N]) explicit importance
         sample positions (render.intervals.image_importance_cdf) —
         switches to render_rays_z.
@@ -607,11 +745,20 @@ def render_image(
 
         def one_cdf(args):
             o, d, ii, no, of = args
-            rgb_map, _, _, _ = render_rays_cdf(
-                field, params, o, d, idx=ii, n_occ=no, occ_far=of,
-                near=near, far=far, n_probe=n_probe, perturb=False,
-                times=times, grid_binary=grid_binary, grid_spec=grid_spec,
-                bg_color=bg_color, train=False, max_level=max_level)
+            if k_fine > 0:
+                rgb_map, _, _, _ = render_rays_hier(
+                    field, params, o, d, idx=ii, n_occ=no, occ_far=of,
+                    near=near, far=far, n_probe=n_probe, k_fine=k_fine,
+                    perturb=False, times=times, grid_binary=grid_binary,
+                    grid_spec=grid_spec, bg_color=bg_color, train=False,
+                    max_level=max_level)
+            else:
+                rgb_map, _, _, _ = render_rays_cdf(
+                    field, params, o, d, idx=ii, n_occ=no, occ_far=of,
+                    near=near, far=far, n_probe=n_probe, perturb=False,
+                    times=times, grid_binary=grid_binary,
+                    grid_spec=grid_spec, bg_color=bg_color, train=False,
+                    max_level=max_level)
             return rgb_map
 
         rgb = jax.lax.map(one_cdf, (ro, rd, idxp, noccp, farp))

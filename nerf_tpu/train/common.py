@@ -45,6 +45,7 @@ class ImageRenderer:
                  chunk: int, grid_spec=None, capacity: Optional[int] = None,
                  ray_budget: Optional[int] = None,
                  sampling: str = "dense",
+                 fine_samples: int = 0,
                  interval_block: int = 4, interval_probes: int = 128,
                  interval_dilate: int = 1,
                  fine_mask: bool = True,
@@ -120,7 +121,7 @@ class ImageRenderer:
                 grid_binary=grid_binary if fine_mask else None,
                 grid_spec=grid_spec, bg_color=bg,
                 cdf=(idx, n_occ, occ_far), n_probe=interval_probes,
-                max_level=max_level)
+                k_fine=fine_samples, max_level=max_level)
 
         def _render_flat_z(params, rays_o, rays_d, z, valid, occ_far,
                            time_scalar, grid_binary, bg):
@@ -288,8 +289,12 @@ def evaluate_split(field, params, dataset, renderer: ImageRenderer, *,
 
 def make_video(picture_dir: str, video_path: str, framerate: int = 24,
                cleanup: bool = True) -> bool:
-    """Mux frame_%03d.png into an H.264 mp4 via ffmpeg
-    (reference: run.py:786-813). Returns success."""
+    """Mux frame_%03d.png into a video (reference: run.py:786-813).
+
+    Tries ffmpeg (H.264 mp4) first; without ffmpeg falls back to the
+    dependency-free MJPEG-AVI muxer (utils/video.py) so the video
+    deliverable always exists. Returns success.
+    """
     import shutil
     import subprocess
     cmd = ["ffmpeg", "-y", "-framerate", str(framerate),
@@ -305,7 +310,18 @@ def make_video(picture_dir: str, video_path: str, framerate: int = 24,
             return True
         print(f"!!! ffmpeg failed:\n{result.stderr[-500:]}")
     except FileNotFoundError:
-        print("!!! ffmpeg not found; frames left in " + picture_dir)
+        pass
     except Exception as e:  # noqa: BLE001
         print(f"!!! video generation failed: {e}")
+    try:
+        from ..utils.video import mux_frame_dir
+        avi_path = os.path.splitext(video_path)[0] + ".avi"
+        mux_frame_dir(picture_dir, avi_path, framerate)
+        print(f">>> video saved (built-in MJPEG muxer): {avi_path}")
+        if cleanup:
+            shutil.rmtree(picture_dir)
+        return True
+    except Exception as e:  # noqa: BLE001
+        print(f"!!! built-in muxer failed ({e}); frames left in "
+              + picture_dir)
     return False

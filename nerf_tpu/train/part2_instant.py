@@ -104,7 +104,10 @@ def run_part2_instant(cfg: dict, args) -> None:
     val_indices = None
     if not args.eval_only:
         n_test = len(test_set)
-        val_indices = py_rng.sample(range(n_test), int(n_test * 0.3))
+        # max(1, ...): tiny test splits (<4 images) must still yield one
+        # val image or best-checkpoint selection never runs.
+        val_indices = py_rng.sample(range(n_test),
+                                    max(1, int(n_test * 0.3)))
         print(f">>> split: train {len(train_set)} | val {len(val_indices)} "
               f"| test {n_test}")
 

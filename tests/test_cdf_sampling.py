@@ -203,3 +203,67 @@ def test_importance_render_close_to_dense(rng_key):
         params, ro, rd, grid_binary=binary, grid_density=density)
     err = float(jnp.mean(jnp.abs(dense - imp)))
     assert err < 0.02, f"importance render deviates by mean {err}"
+
+
+def test_hier_mode_close_to_dense(rng_key):
+    """Two-pass hierarchical (cdf coarse + weight-resampled fine) within
+    tolerance of the dense masked render at a small total budget, and at
+    least as close as the flat cdf at the same budget."""
+    field = build_field(CFG)
+    params = jax.jit(field.init)(rng_key)
+    spec = DensityGridSpec(resolution=32, bound=1.5, threshold=0.01)
+    lin = np.linspace(-1.5, 1.5, 32, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
+    binary = jnp.asarray((xx**2 + yy**2 + zz**2) < 0.8**2)
+
+    H = W = 24
+    dirs = camera_directions(H, W, 0.5 * W / np.tan(0.35))
+    pose = jnp.eye(4).at[0, 3].set(3.0).at[:3, :3].set(
+        jnp.asarray([[0., 0., 1.], [0., 1., 0.], [-1., 0., 0.]]))
+    ro, rd = rays_from_pose(dirs, pose)
+
+    kw = dict(near=1.0, far=5.0, chunk=256, grid_spec=spec)
+    dense = ImageRenderer(field, n_samples=192, **kw)(
+        params, ro, rd, grid_binary=binary)
+    hier = ImageRenderer(field, n_samples=16, fine_samples=16,
+                         sampling="cdf", interval_probes=192, **kw)(
+        params, ro, rd, grid_binary=binary)
+    flat = ImageRenderer(field, n_samples=32, sampling="cdf",
+                         interval_probes=192, **kw)(
+        params, ro, rd, grid_binary=binary)
+    err_hier = float(jnp.mean(jnp.abs(dense - hier)))
+    err_flat = float(jnp.mean(jnp.abs(dense - flat)))
+    assert err_hier < 0.03, f"hier render deviates by mean {err_hier}"
+    assert err_hier <= err_flat * 1.5, (err_hier, err_flat)
+
+
+def test_hier_empty_rays_are_background(rng_key):
+    from nerf_tpu.render.renderer import render_rays_hier
+    field = build_field(CFG)
+    params = jax.jit(field.init)(rng_key)
+    n, k = 8, 8
+    ro = jnp.broadcast_to(jnp.asarray([2.5, 0.0, 0.0]), (n, 3))
+    rd = jnp.broadcast_to(jnp.asarray([-1.0, 0.0, 0.0]), (n, 3))
+    bg = jnp.asarray([0.2, 0.5, 0.7])
+    rgb, depth, acc, _ = render_rays_hier(
+        field, params, ro, rd,
+        idx=jnp.zeros((n, k), jnp.int32), n_occ=jnp.zeros((n,)),
+        occ_far=jnp.zeros((n,), bool), near=0.5, far=4.5, n_probe=64,
+        k_fine=8, bg_color=bg)
+    np.testing.assert_allclose(np.asarray(rgb),
+                               np.tile(np.asarray(bg), (n, 1)), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-6)
+
+
+def test_resample_from_weights_targets_peak():
+    """Fine samples concentrate where the coarse weights peak and stay
+    inside the coarse bin extent."""
+    from nerf_tpu.render.renderer import _resample_from_weights
+    z = jnp.broadcast_to(jnp.linspace(1.0, 4.0, 16), (4, 16))
+    w = jnp.zeros((4, 16)).at[:, 5].set(1.0)       # peak at z ~ 2.0
+    zf = _resample_from_weights(z, w, 12, floor=0.01)
+    assert zf.shape == (4, 12)
+    frac_near_peak = float(jnp.mean((jnp.abs(zf - z[:, 5:6]) < 0.25)
+                                    .astype(jnp.float32)))
+    assert frac_near_peak > 0.7, frac_near_peak
+    assert float(zf.min()) >= 0.9 and float(zf.max()) <= 4.1

@@ -67,6 +67,14 @@ class Field:
     # `blend_params(params, t) -> params'` computes them (cheap, per frame).
     blended_field: Optional["Field"] = None
     blend_params: Optional[Callable] = None
+    # Optional ray-grouped evaluation: apply_grouped(params, pts [R,k,3],
+    # dirs [R,3], t=None, ...) with per-RAY view directions. Render paths
+    # broadcast one direction to all k samples of a ray; a field that
+    # implements this evaluates its direction encoding / first color-layer
+    # contribution once per ray instead of once per sample (k-fold fewer
+    # transcendentals on the VPU). Returns the same flat [R*k, ...] shapes
+    # as `apply`.
+    apply_grouped: Optional[Callable] = None
 
 
 def _hash_spec_from_cfg(cfg: dict, prefix: str = "",

@@ -265,5 +265,35 @@ def build_baked_field(spec: BakedSpec, L_dir: int = 4,
                           final_activation=jax.nn.sigmoid)
         return rgb, sigma
 
+    def apply_grouped(params, pts, dirs_ray, t=None, *, train=False,
+                      rng=None, max_level=None):
+        """Per-ray grouped evaluation (Field.apply_grouped protocol).
+
+        The color net's input is concat(h, dir_enc); splitting its first
+        layer W into [W_h; W_d] lets the direction half — the Fourier
+        encode (k-fold transcendentals) and the [R, D] x [D, H] matmul —
+        run once per RAY and broadcast over the k samples. Exact: the
+        first layer is linear in its concatenated input.
+        """
+        r, k, _ = pts.shape
+        h = baked_h(params, pts.reshape(-1, 3), spec)         # [R*k, 16]
+        sigma = jax.nn.softplus(h[:, 0:1] - 5.0)
+
+        layers = params["color_net"]
+        w0 = layers[0]["w"].astype(compute_dtype)
+        b0 = layers[0]["b"].astype(compute_dtype)
+        de = fourier_encode(dirs_ray, L_dir).astype(compute_dtype)
+        ray_part = jnp.dot(de, w0[_N_CH:],
+                           preferred_element_type=jnp.float32) \
+            .astype(compute_dtype)                            # [R, H]
+        hc = h.astype(compute_dtype).reshape(r, k, _N_CH)
+        x = jnp.dot(hc, w0[:_N_CH],
+                    preferred_element_type=jnp.float32).astype(compute_dtype)
+        x = jax.nn.relu(x + ray_part[:, None, :] + b0)
+        rgb = D.mlp_apply(layers[1:], x.reshape(r * k, -1),
+                          final_activation=jax.nn.sigmoid)
+        return rgb, sigma
+
     return Field(mode="baked_instant", init=init, apply=apply,
-                 needs_dirs=True, needs_time=False)
+                 needs_dirs=True, needs_time=False,
+                 apply_grouped=apply_grouped)

@@ -367,24 +367,32 @@ def _field_at_z(field, params, rays_o, rays_d, z, *, times, train, rng,
     n_rays, k = z.shape
     dynamic = field.needs_time
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
-    view_dirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    view_dirs = jnp.broadcast_to(view_dirs[:, None, :], (n_rays, k, 3))
+    view_dirs_ray = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
     n_pts = n_rays * k
     pts_flat = pts.reshape(n_pts, 3)
-    dirs_flat = view_dirs.reshape(n_pts, 3)
+    grouped = getattr(field, "apply_grouped", None)
     if dynamic:
         if times is None:
             times = jnp.zeros((n_rays, 1), jnp.float32)
         times_flat = jnp.broadcast_to(
             times[:, None, :], (n_rays, k, 1)).reshape(n_pts, 1)
-        rgb, sigma, delta = field.apply(params, pts_flat, dirs_flat,
-                                        times_flat, train=train, rng=rng,
-                                        max_level=max_level)
-    else:
-        rgb, sigma = field.apply(params, pts_flat, dirs_flat,
-                                 train=train, rng=rng, max_level=max_level)
+    if grouped is not None and not dynamic:
+        rgb, sigma = grouped(params, pts, view_dirs_ray, train=train,
+                             rng=rng, max_level=max_level)
         delta = None
+    else:
+        dirs_flat = jnp.broadcast_to(
+            view_dirs_ray[:, None, :], (n_rays, k, 3)).reshape(n_pts, 3)
+        if dynamic:
+            rgb, sigma, delta = field.apply(
+                params, pts_flat, dirs_flat, times_flat, train=train,
+                rng=rng, max_level=max_level)
+        else:
+            rgb, sigma = field.apply(params, pts_flat, dirs_flat,
+                                     train=train, rng=rng,
+                                     max_level=max_level)
+            delta = None
 
     rgb = rgb.astype(jnp.float32).reshape(n_rays, k, 3)
     sigma = sigma.astype(jnp.float32).reshape(n_rays, k)

@@ -119,3 +119,33 @@ def test_int8_bake_close_to_fp32(rng_key):
     # bf16 storage of the dense volume + int8 rounding: allow 2 steps
     assert np.all(np.abs(h_q - h_ref) <= 2.0 * step[None, :] + 1e-3), \
         float(np.abs(h_q - h_ref).max())
+
+
+def test_apply_grouped_matches_apply(rng_key):
+    """The per-ray grouped evaluation must equal flat apply (the first
+    color layer is linear in its concatenated input)."""
+    import numpy as np
+    from nerf_tpu.models import build_field
+    from nerf_tpu.render.bake import (BakedSpec, bake_instant_field,
+                                      build_baked_field)
+    cfg = {"mode": "part2_instant", "n_levels": 3, "log2_hashmap_size": 9,
+           "hidden_dim": 16, "scene_bound": 1.0}
+    field = build_field(cfg)
+    params = jax.jit(field.init)(rng_key)
+    spec = BakedSpec(resolution=24, bound=1.0)
+    baked = bake_instant_field(field, params, spec, dtype=jnp.bfloat16)
+    bfield = build_baked_field(spec, compute_dtype=jnp.float32)
+
+    r, k = 32, 6
+    kp, kd = jax.random.split(rng_key)
+    pts = jax.random.uniform(kp, (r, k, 3), minval=-1.0, maxval=1.0)
+    dirs = jax.random.normal(kd, (r, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    dirs_flat = jnp.broadcast_to(dirs[:, None, :], (r, k, 3)).reshape(-1, 3)
+
+    rgb_f, sig_f = bfield.apply(baked, pts.reshape(-1, 3), dirs_flat)
+    rgb_g, sig_g = bfield.apply_grouped(baked, pts, dirs)
+    np.testing.assert_allclose(np.asarray(sig_g), np.asarray(sig_f),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(rgb_g), np.asarray(rgb_f),
+                               rtol=1e-4, atol=1e-5)

@@ -89,6 +89,7 @@ def render_rays(
     capacity: Optional[int] = None,
     ray_budget: Optional[int] = None,
     max_level: Optional[int] = None,
+    budget_mode: str = "first",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """Render a batch of rays through `field`.
 
@@ -108,17 +109,19 @@ def render_rays(
     s_rng, m_rng = (jax.random.split(rng) if rng is not None else (None, None))
 
     if ray_budget is not None and grid_binary is not None:
-        # Per-ray sparse marching: select the first `ray_budget` occupied
-        # samples of each ray and evaluate only those. With the original
-        # bin widths as dists, the compositing integral equals the dense
-        # masked evaluation exactly (skipped samples have alpha = 0);
-        # per-ray truncation replaces the global-capacity truncation.
+        # Per-ray sparse marching: evaluate only `ray_budget` occupied
+        # samples of each ray. budget_mode="first" takes the first k
+        # occupied bins with their original widths (exact vs the dense
+        # masked integral while k covers the actives; truncates the far
+        # tail otherwise). budget_mode="cdf" spreads the k samples over
+        # the occupied-bin CDF with measure-preserving dists — the same
+        # estimator the eval paths use; no tail truncation.
         return _render_rays_budget(
             field, params, rays_o, rays_d, near=near, far=far,
             n_samples=n_samples, perturb=perturb, s_rng=s_rng, m_rng=m_rng,
             times=times, grid_binary=grid_binary, grid_spec=grid_spec,
             bg_color=bg_color, train=train, k=ray_budget,
-            max_level=max_level)
+            max_level=max_level, budget_mode=budget_mode)
     z_vals = sample_stratified(s_rng, near, far, n_samples, n_rays, perturb)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
@@ -185,10 +188,30 @@ def render_rays(
     return rgb_map, depth_map, acc_map, extras
 
 
+def _select_k_cdf(mask2d: jnp.ndarray, k: int):
+    """Occupied-bin quantile selection: sample j sits at the (j+0.5)/k
+    quantile of the per-ray occupied-bin CDF (the eval paths' placement,
+    intervals.py::image_occupancy_cdf).
+
+    Returns (idx [R, k] int32 ascending, n_act [R] int32). Rays with more
+    occupied bins than k are covered end-to-end at reduced density instead
+    of truncated at the k-th bin.
+    """
+    c = jnp.cumsum(mask2d.astype(jnp.float32), axis=1)      # [R, S]
+    n_act = c[:, -1]
+    cols = []
+    for j in range(k):
+        u = (j + 0.5) / k * n_act
+        cols.append(jnp.sum((c < u[:, None]).astype(jnp.int32), axis=1))
+    idx = jnp.stack(cols, axis=1)
+    idx = jnp.minimum(idx, mask2d.shape[1] - 1)
+    return idx.astype(jnp.int32), n_act
+
+
 def _render_rays_budget(field, params, rays_o, rays_d, *, near, far,
                         n_samples, perturb, s_rng, m_rng, times,
                         grid_binary, grid_spec, bg_color, train, k,
-                        max_level=None):
+                        max_level=None, budget_mode="first"):
     """Per-ray budgeted rendering (see render_rays docstring)."""
     n_rays = rays_o.shape[0]
     dynamic = field.needs_time
@@ -202,7 +225,12 @@ def _render_rays_budget(field, params, rays_o, rays_d, *, near, far,
         grid_binary, pts_all.reshape(-1, 3), grid_spec
     ).reshape(n_rays, n_samples)
 
-    idx, valid = _select_k_per_ray(mask2d, k)                    # [R, k]
+    if budget_mode == "cdf":
+        idx, n_act = _select_k_cdf(mask2d, k)
+        valid = (n_act > 0)[:, None]
+    else:
+        idx, valid = _select_k_per_ray(mask2d, k)                # [R, k]
+        n_act = None
     idx_f = idx.astype(jnp.float32)
     z_sel = near + idx_f * dz                                    # [R, k]
     if perturb:
@@ -239,10 +267,20 @@ def _render_rays_budget(field, params, rays_o, rays_d, *, near, far,
     sigma = sigma.astype(jnp.float32).reshape(n_rays, k)
     sigma = sigma * valid.astype(jnp.float32)
 
-    # Original bin widths as dists; the reference's 1e10 catch-all applies
-    # to the final nominal sample (reference: src/renderer.py:213-215).
     norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    dists = jnp.where(idx == n_samples - 1, 1e10, dz) * norm
+    if budget_mode == "cdf":
+        # Measure-preserving dists over the occupied set (the eval
+        # estimator); the catch-all applies when the final nominal sample
+        # is occupied (reference: src/renderer.py:213-215).
+        dists = jnp.broadcast_to((n_act * dz / k)[:, None], (n_rays, k))
+        last = jnp.where(mask2d[:, -1], 1e10, dists[:, -1])
+        dists = jnp.concatenate([dists[:, :-1], last[:, None]], axis=1) \
+            * norm
+    else:
+        # Original bin widths as dists; the reference's 1e10 catch-all
+        # applies to the final nominal sample
+        # (reference: src/renderer.py:213-215).
+        dists = jnp.where(idx == n_samples - 1, 1e10, dz) * norm
 
     rgb_map, depth_map, acc_map, weights = composite(
         rgb, sigma, z_sel, rays_d, bg_color=bg_color, dists=dists)

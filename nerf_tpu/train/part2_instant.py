@@ -80,6 +80,10 @@ def run_part2_instant(cfg: dict, args) -> None:
                            os.path.basename(args.data_dir))
 
     use_density_grid = cfg.get("use_density_grid", True)
+    # Training-budget placement: "first" = first-k occupied bins (exact
+    # while k covers the actives), "cdf" = occupied-bin quantiles (the
+    # eval estimator; no far-tail truncation at small k).
+    budget_mode = cfg.get("train_budget_mode", "first")
     grid_resolution = cfg.get("grid_resolution", 128)
     grid_threshold = cfg.get("grid_threshold", 0.01)
     grid_warmup_iters = cfg.get("grid_warmup_iters", 256)
@@ -212,7 +216,8 @@ def run_part2_instant(cfg: dict, args) -> None:
                         grid_binary=grid_binary if use_grid else None,
                         grid_spec=grid_spec,
                         capacity=capacity if use_grid else None,
-                        ray_budget=ray_budget if use_grid else None)
+                        ray_budget=ray_budget if use_grid else None,
+                        budget_mode=budget_mode)
                     loss_rgb = jnp.mean((pred - target) ** 2)
                     loss_tv = (tv_loss_flat(p["representation"])
                                * tv_loss_weight if use_tv_loss else 0.0)

@@ -156,6 +156,7 @@ def run_part3(cfg: dict, args) -> None:
         unsup_n = min(cfg.get("unsup_n_samples", 512), 512)
         grid_warmup_iters = cfg.get("grid_warmup_iters", 256)
         val_every = cfg.get("val_every", 500)
+        budget_mode = cfg.get("train_budget_mode", "first")
 
         data = train_set.ray_data
         H, W, focal = train_set.H, train_set.W, train_set.focal
@@ -201,7 +202,8 @@ def run_part3(cfg: dict, args) -> None:
                         grid_binary=grid_binary if use_grid else None,
                         grid_spec=grid_spec,
                         capacity=capacity if use_grid else None,
-                        ray_budget=ray_budget if use_grid else None)
+                        ray_budget=ray_budget if use_grid else None,
+                        budget_mode=budget_mode)
                     loss_rgb = jnp.mean((pred - target) ** 2)
                     loss_reg = jnp.mean(extras["mean_delta_x"] ** 2) \
                         * deformation_reg_weight \

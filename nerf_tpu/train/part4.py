@@ -101,6 +101,7 @@ def make_part4_train_step(cfg: dict, field, tx, data, *, H, W, focal,
     unsup_ns = int(cfg.get("unsup_n_samples", 512))
     anchor_ns = int(cfg.get("static_anchor_n_samples", 512))
     grid_warmup_iters = cfg.get("grid_warmup_iters", 256)
+    budget_mode = cfg.get("train_budget_mode", "first")
     via_grid = field.deform_delta_via_grid
 
     n_dev = mesh.shape[axis] if mesh is not None else 1
@@ -136,7 +137,8 @@ def make_part4_train_step(cfg: dict, field, tx, data, *, H, W, focal,
                 grid_binary=grid_binary if use_grid else None,
                 grid_spec=grid_spec,
                 capacity=capacity if use_grid else None,
-                ray_budget=ray_budget if use_grid else None)
+                ray_budget=ray_budget if use_grid else None,
+                budget_mode=budget_mode)
             loss_rgb = jnp.mean((pred - target) ** 2)
             loss_reg = jnp.mean(extras["mean_delta_x"] ** 2) \
                 * deformation_reg_weight

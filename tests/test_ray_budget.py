@@ -86,3 +86,42 @@ def test_budget_dynamic_field(rng_key):
         grid_spec=spec, ray_budget=8, train=True)
     assert rgb.shape == (n, 3)
     assert extras["mean_delta_x"].shape == (n, 3)
+
+
+def test_select_k_cdf_spreads_over_occupied():
+    from nerf_tpu.render.renderer import _select_k_cdf
+    mask = jnp.asarray([
+        [0, 1, 0, 1, 1, 0, 1, 1],     # 5 occupied bins
+        [1, 1, 1, 1, 1, 1, 1, 1],
+        [0, 0, 0, 0, 0, 0, 0, 0],
+    ], bool)
+    idx, n_act = _select_k_cdf(mask, 5)
+    # k == n_act for ray 0: quantiles hit each occupied bin exactly once
+    np.testing.assert_array_equal(np.asarray(idx[0]), [1, 3, 4, 6, 7])
+    np.testing.assert_array_equal(np.asarray(n_act), [5, 8, 0])
+    # ray 1: k=5 over 8 bins spans first to last (no far truncation)
+    assert int(idx[1, 0]) == 0 and int(idx[1, -1]) >= 6
+
+
+def test_budget_cdf_close_to_mask_path(rng_key):
+    """cdf budget mode approximates the dense masked integral (it is the
+    eval estimator applied at training time)."""
+    field = build_field(CFG)
+    params = jax.jit(field.init)(rng_key)
+    spec = DensityGridSpec(resolution=16, bound=1.5, threshold=0.01)
+    lin = np.linspace(-1.5, 1.5, 16, dtype=np.float32)
+    xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
+    binary = jnp.asarray((xx**2 + yy**2 + zz**2) < 0.9**2)
+
+    n = 32
+    ro = jnp.broadcast_to(jnp.asarray([2.8, 0.0, 0.0]), (n, 3))
+    rd = jax.random.normal(rng_key, (n, 3)) * 0.12 \
+        + jnp.asarray([-1.0, 0.0, 0.0])
+    kw = dict(near=1.0, far=5.0, perturb=False,
+              grid_binary=binary, grid_spec=spec)
+    dense, _, _, _ = render_rays(field, params, ro, rd,
+                                 n_samples=96, **kw)
+    cdf, _, _, _ = render_rays(field, params, ro, rd, n_samples=96,
+                               ray_budget=32, budget_mode="cdf", **kw)
+    err = float(jnp.max(jnp.abs(dense - cdf)))
+    assert err < 0.05, f"cdf budget deviates by {err}"

@@ -25,10 +25,24 @@ from ..render.rays import camera_directions, rays_from_pose
 
 
 class RayData(NamedTuple):
-    """Device-resident arrays consumed by `sample_random_rays`."""
-    images: jnp.ndarray          # [N, H, W, 4] fp32 RGBA in [0,1]
+    """Device-resident arrays consumed by `sample_random_rays`.
+
+    Images may be uint8 (0-255) or fp32 (0-1): the dataset stores uint8 —
+    lossless vs the 8-bit PNG sources (the reference also quantizes to
+    uint8 post-downscale, src/dataset.py:56-60) and 4x cheaper to upload
+    through the host->device tunnel, whose measured bandwidth (~0.7 MB/s)
+    made the fp32 stack a ~6-minute startup stall at reference scale.
+    Samplers convert gathered batches to fp32 on device.
+    """
+    images: jnp.ndarray          # [N, H, W, 4] uint8 (0-255) or fp32 (0-1)
     poses: jnp.ndarray           # [N, 4, 4]
     times: Optional[jnp.ndarray]  # [N] or None
+
+
+def _to_float_rgba(img: jnp.ndarray) -> jnp.ndarray:
+    if img.dtype == jnp.uint8:
+        return img.astype(jnp.float32) * (1.0 / 255.0)
+    return img.astype(jnp.float32)
 
 
 def _load_frames(root_dir: str, split: str, downscale: int):
@@ -99,7 +113,9 @@ class BlenderDataset:
         self.H, self.W = images.shape[1:3]
         self.focal = 0.5 * self.W / np.tan(0.5 * cax)
 
-        self.images = jnp.asarray(images)
+        # uint8 on device: see RayData docstring (tunnel-bandwidth bound).
+        self.images = jnp.asarray(
+            np.clip(np.round(images * 255.0), 0, 255).astype(np.uint8))
         self.poses = jnp.asarray(poses)
         self.times = jnp.asarray(times) if self.has_time else None
         self.directions = camera_directions(self.H, self.W, self.focal)
@@ -117,7 +133,7 @@ class BlenderDataset:
     def composite_target(self, index: int, bg_white: Optional[bool] = None):
         """Pre-composited RGB target for eval (reference: src/dataset.py:124-138)."""
         white = self.white_bkgd if bg_white is None else bg_white
-        rgba = self.images[index]
+        rgba = _to_float_rgba(self.images[index])
         rgb, alpha = rgba[..., :3], rgba[..., 3:4]
         return rgb * alpha + (1.0 - alpha) if white else rgb * alpha
 
@@ -167,7 +183,7 @@ def sample_random_rays(data: RayData, rng: jax.Array, batch_size: int,
     if scene_scale != 1.0:
         rays_o = rays_o * scene_scale
 
-    target_rgba = data.images[img_idx, pix_y, pix_x]
+    target_rgba = _to_float_rgba(data.images[img_idx, pix_y, pix_x])
     times = None
     if data.times is not None:
         times = data.times[img_idx][:, None]

@@ -87,7 +87,8 @@ class FrameRenderer:
                  fine_mask: bool = False,
                  max_level: Optional[int] = None,
                  blend=None,
-                 bg_color=None):
+                 bg_color=None,
+                 frame_loop: str = "python"):
         self.field = field
         n_rays = H * W
         if capacity_frac is not None:
@@ -149,7 +150,20 @@ class FrameRenderer:
                                  t if needs_time else None)
             return jax.lax.map(body, (poses, times))
 
+        @jax.jit
+        def render_one(params, pose, t, grid_binary):
+            return one_frame(params, grid_binary, pose,
+                             t if needs_time else None)
+
         self._render_frames = render_frames
+        self._render_one = render_one
+        # "scan": the whole sequence is one program (one dispatch+sync per
+        # call; larger compile). "python": one compiled single-frame
+        # program dispatched per pose — dispatches pipeline (~1 ms each),
+        # the sync cost is still paid once by the caller's digest, and the
+        # compile stays frame-sized (the remote TPU compiler has scaled
+        # badly on giant lax.map graphs).
+        self.frame_loop = frame_loop
 
     def __call__(self, params, poses, *, times=None, grid_binary=None):
         """Render poses [F, 4, 4] (+ optional times [F]) -> [F, H, W, 3]."""
@@ -159,4 +173,8 @@ class FrameRenderer:
             times = jnp.zeros((f,), jnp.float32)
         else:
             times = jnp.asarray(times, jnp.float32).reshape(f)
+        if self.frame_loop == "python":
+            return jnp.stack([
+                self._render_one(params, poses[i], times[i], grid_binary)
+                for i in range(f)])
         return self._render_frames(params, poses, times, grid_binary)

@@ -299,8 +299,13 @@ def run_part3(cfg: dict, args) -> None:
         if grid_state is not None:
             val_renderer = ImageRenderer(
                 field, near=near, far=far,
-                n_samples=int(cfg.get("val_n_samples", 64)),
-                chunk=min(chunk, 65536), grid_spec=grid_spec,
+                n_samples=(val_ns := int(cfg.get("val_n_samples", 64))),
+                # rays/chunk scales inversely with the sample count so the
+                # per-chunk point working set stays ~2.1M (k=64 at 65536
+                # rays compiled to 17.9 GB > HBM on the live hash field)
+                chunk=min(chunk, max(4096, (65536 * 32 // val_ns)
+                                     // 4096 * 4096)),
+                grid_spec=grid_spec,
                 sampling="cdf")
         else:
             val_renderer = ImageRenderer(field, near=near, far=far,

@@ -62,6 +62,36 @@ def fps_at_800(renderer, params, binary, density=None, n_frames=3):
     return n_frames / (time.perf_counter() - t0)
 
 
+def fps_fast(field, params, binary, grid_spec, *, k1, k2, near, far,
+             block=8, n_probe=96, dilate=1, fine_mask=False,
+             capacity=True, n_frames=6, chunk=65536):
+    """FPS of the production FrameRenderer path (frame-batched dispatch,
+    in-graph rays, occupied-ray compaction, hierarchical sampling)."""
+    from nerf_tpu.render.fast import FrameRenderer, \
+        measure_occupied_fraction
+    from nerf_tpu.render.rays import orbit_poses
+    H = W = 800
+    focal = 0.5 * W / np.tan(0.4)
+    poses = orbit_poses(1 + n_frames, radius=4.0, center=[0, 0, 0],
+                        height=1.0)
+    cap = None
+    if capacity:
+        frac = measure_occupied_fraction(
+            binary, grid_spec, poses, H=H, W=W, focal=focal, near=near,
+            far=far, block=block, n_probe=n_probe, dilate=dilate)
+        cap = min(1.0, frac + 0.05)
+    fr = FrameRenderer(field, H=H, W=W, focal=focal, near=near, far=far,
+                       k_coarse=k1, k_fine=k2, chunk=chunk,
+                       grid_spec=grid_spec, probe_block=block,
+                       n_probe=n_probe, dilate=dilate, capacity_frac=cap,
+                       fine_mask=fine_mask)
+    digest = jax.jit(lambda f: jnp.sum(f[:, ::63, ::63]))
+    float(digest(fr(params, poses[:1], grid_binary=binary)))
+    t0 = time.perf_counter()
+    float(digest(fr(params, poses[1:], grid_binary=binary)))
+    return n_frames / (time.perf_counter() - t0)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
@@ -109,14 +139,23 @@ def main():
 
     density = grid_state["grid"] if grid_state else None
 
-    def add(name, renderer, p=params, dens=None):
+    def add(name, renderer, p=params, dens=None, fast=None):
+        """fast=(field, k1, k2, fine_mask): measure FPS through the
+        production FrameRenderer instead of the per-image path."""
         if args.only and args.only not in name:
             return
         psnr = psnr_over_split(renderer, p, test_set, idxs, binary, dens)
-        fps = fps_at_800(renderer, p, binary, dens) if args.fps \
-            else float("nan")
+        if args.fps and fast is not None:
+            ffield, k1, k2, fmask = fast
+            fps = fps_fast(ffield, p, binary, grid_spec, k1=k1, k2=k2,
+                           near=near, far=far, fine_mask=fmask)
+        elif args.fps:
+            fps = fps_at_800(renderer, p, binary, dens)
+        else:
+            fps = float("nan")
         rows.append((name, psnr, fps))
-        print(f"{name:44s}  PSNR {psnr:6.2f} dB   FPS {fps:6.2f}")
+        print(f"{name:44s}  PSNR {psnr:6.2f} dB   FPS {fps:6.2f}",
+              flush=True)
 
     common = dict(near=near, far=far, chunk=65536, grid_spec=grid_spec)
     # The dense baseline evaluates chunk*S points per chunk; cap the product
@@ -174,6 +213,20 @@ def main():
                 ImageRenderer(bfield, n_samples=k, sampling="importance", experimental=True,
                               fine_mask=False, **common), p=baked,
                 dens=density)
+        # Two-pass hierarchical (production bench path): FPS measured
+        # through the frame-batched FrameRenderer with ray compaction.
+        for k1, k2 in ((12, 12), (16, 16), (16, 8)):
+            add(f"baked {res}^3 {qname}, hier k={k1}+{k2}",
+                ImageRenderer(bfield, n_samples=k1, fine_samples=k2,
+                              sampling="cdf", fine_mask=False, **common),
+                p=baked, fast=(bfield, k1, k2, False))
+
+    # 5. live-field hierarchical rows (no bake)
+    for k1, k2 in ((16, 16),):
+        add(f"hier k={k1}+{k2}",
+            ImageRenderer(field, n_samples=k1, fine_samples=k2,
+                          sampling="cdf", **common),
+            fast=(field, k1, k2, True))
 
     lines = ["| render path | test PSNR (dB) | 800x800 FPS |",
              "|---|---|---|"]

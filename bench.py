@@ -126,7 +126,8 @@ def main():
         k_coarse=k1, k_fine=k2, chunk=chunk, grid_spec=grid_spec,
         probe_block=block, n_probe=n_probe, dilate=dilate,
         capacity_frac=capacity_frac, fine_mask=fine_mask,
-        max_level=max_level)
+        max_level=max_level,
+        hier_coarse=os.environ.get("BENCH_COARSE", "auto"))
 
     # Tunnel-safe timing: execution is lazy (block_until_ready does not
     # sync) and identical executions are memoized, so the warmup and the

@@ -75,6 +75,12 @@ class Field:
     # transcendentals on the VPU). Returns the same flat [R*k, ...] shapes
     # as `apply`.
     apply_grouped: Optional[Callable] = None
+    # Optional cheap sigma estimate: sigma_at(params, pts [N,3]) -> [N].
+    # Orders of magnitude cheaper than `apply` (e.g. one nearest-vertex
+    # scalar gather on a baked field vs a 128-lane row + color MLP); used
+    # by the hierarchical render path's coarse surface-localization pass,
+    # where only a density ESTIMATE for sample placement is needed.
+    sigma_at: Optional[Callable] = None
 
 
 def _hash_spec_from_cfg(cfg: dict, prefix: str = "",

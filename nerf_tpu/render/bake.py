@@ -174,6 +174,13 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
         dense = quant_dense(dense)
     out_dtype = jnp.int8 if quantize else dtype
 
+    # Sigma-only volume: channel 0 of the dense bake, flat [r^3]. The
+    # hierarchical coarse pass marches this at ONE nearest-vertex scalar
+    # gather per point (~2 ns, descriptor-rate) instead of a 128-lane cell
+    # row + trilerp + color MLP — surface localization needs only a sigma
+    # ESTIMATE, so nearest-neighbor at the bake resolution suffices.
+    sigma_vol = dense[..., 0].reshape(-1)
+
     # Pack cell rows: cell (i,j,k) row holds vertices (i+di, j+dj, k+dk),
     # lane = ((di*2+dj)*2+dk)*16 + channel. Built slab-by-slab along x.
     @jax.jit
@@ -198,6 +205,7 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
     for cx in range(nc):
         cells = acc_slab(cells, cx, pack_slab(dense, cx))
     return {"cells": cells.reshape(spec.n_cells, _LANES),
+            "sigma_vol": sigma_vol,
             "qscale": qscale, "qzero": qzero,
             "color_net": dec["color_net"]}
 
@@ -239,6 +247,27 @@ def baked_h(baked: dict, x: jnp.ndarray, spec: BakedSpec) -> jnp.ndarray:
     if baked.get("qscale") is not None:
         h = h * baked["qscale"][None, :] + baked["qzero"][None, :]
     return h
+
+
+def baked_sigma_nn(baked: dict, x: jnp.ndarray, spec: BakedSpec
+                   ) -> jnp.ndarray:
+    """Nearest-vertex sigma at world points [N, 3] -> [N].
+
+    One scalar gather per point from the flat sigma volume; dequantizes
+    channel 0 (int8 tables) and applies the instant decoder's activation
+    sigma = softplus(h0 - 5) (reference: src/decoders.py:136-162). Pruned
+    voxels baked to h0 = -20 return ~1e-11 — placement weight zero.
+    """
+    r = spec.resolution
+    xf = x.astype(jnp.float32)
+    x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
+    p = jnp.round(x01 * (r - 1.0)).astype(jnp.int32)
+    flat = (p[:, 0] * r + p[:, 1]) * r + p[:, 2]
+    h0 = jnp.take(baked["sigma_vol"], flat, mode="clip") \
+        .astype(jnp.float32)
+    if baked.get("qscale") is not None:
+        h0 = h0 * baked["qscale"][0] + baked["qzero"][0]
+    return jax.nn.softplus(h0 - 5.0)
 
 
 def build_baked_field(spec: BakedSpec, L_dir: int = 4,
@@ -294,6 +323,9 @@ def build_baked_field(spec: BakedSpec, L_dir: int = 4,
                           final_activation=jax.nn.sigmoid)
         return rgb, sigma
 
+    def sigma_at(params, pts):
+        return baked_sigma_nn(params, pts, spec)
+
     return Field(mode="baked_instant", init=init, apply=apply,
                  needs_dirs=True, needs_time=False,
-                 apply_grouped=apply_grouped)
+                 apply_grouped=apply_grouped, sigma_at=sigma_at)

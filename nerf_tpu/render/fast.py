@@ -88,8 +88,14 @@ class FrameRenderer:
                  max_level: Optional[int] = None,
                  blend=None,
                  bg_color=None,
-                 frame_loop: str = "python"):
+                 frame_loop: str = "python",
+                 hier_coarse: str = "auto"):
         self.field = field
+        # "auto": march the field's cheap sigma estimate in the coarse
+        # pass when it has one (baked fields) — the production fast path.
+        if hier_coarse == "auto":
+            hier_coarse = ("sigma" if getattr(field, "sigma_at", None)
+                           is not None and k_fine > 0 else "field")
         n_rays = H * W
         if capacity_frac is not None:
             capacity = min(n_rays, -(-int(n_rays * capacity_frac) // chunk)
@@ -120,7 +126,8 @@ class FrameRenderer:
                     grid_binary=grid_binary if fine_mask else None,
                     grid_spec=grid_spec, bg_color=bg,
                     cdf=(idx_r, nocc_r, far_r), n_probe=n_probe,
-                    k_fine=k_fine, max_level=max_level)
+                    k_fine=k_fine, max_level=max_level,
+                    hier_coarse=hier_coarse)
 
             if capacity is None:
                 rgb = render(ro_f, rd_f, idx_f, nocc_f, far_f)

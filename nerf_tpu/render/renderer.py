@@ -580,6 +580,9 @@ def render_rays_hier(
     bg_color: Optional[jnp.ndarray] = None,
     train: bool = False,
     max_level: Optional[int] = None,
+    sigma_at=None,
+    temper: float = 0.7,
+    w_floor: float = 0.15,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, dict]:
     """Two-pass hierarchical rendering over occupancy-CDF coarse samples.
 
@@ -597,6 +600,18 @@ def render_rays_hier(
     neither over-sharp nor misregistered. Total field cost is k1+k_fine
     evaluations; quality target is the dense masked metric at a fraction
     of its samples.
+
+    With `sigma_at` (Field.sigma_at: a cheap sigma estimate, e.g. one
+    nearest-vertex scalar gather on a baked field), pass 1 instead marches
+    that estimate — no color MLP, no row gathers — and ONLY the k_fine
+    resampled depths pay full field evaluations; the composite is over the
+    fine set alone with z-difference distances. Placement robustness
+    against estimate error comes from tempering (w^temper flattens an
+    over-sharp profile) plus a floor mixed uniformly over the coarse
+    placements (an underweighted surface still receives
+    ~w_floor/(1+w_floor) of the budget); both knobs exist because the
+    un-tempered grid-profile variant measured 4-6 dB WORSE than uniform
+    CDF placement (AB_RESULTS.md "importance" negative result).
     """
     n_rays, k1 = idx.shape
     if bg_color is None:
@@ -613,6 +628,40 @@ def render_rays_hier(
     else:
         u = 0.5
     z_c = near + (idx.astype(jnp.float32) + u) * dbin        # [R, k1]
+
+    if sigma_at is not None:
+        pts_c = rays_o[:, None, :] + rays_d[:, None, :] * z_c[..., None]
+        sigma_cheap = sigma_at(params, pts_c.reshape(-1, 3)) \
+            .astype(jnp.float32).reshape(n_rays, k1)
+        sigma_cheap = sigma_cheap * valid_ray[:, None]
+
+        norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        dist_c = jnp.broadcast_to((n_occ * dbin / k1)[:, None],
+                                  (n_rays, k1))
+        alpha_c = 1.0 - jnp.exp(-sigma_cheap * dist_c * norm)
+        trans_c = jnp.cumprod(1.0 - alpha_c + 1e-10, axis=-1)
+        trans_c = jnp.concatenate(
+            [jnp.ones_like(trans_c[:, :1]), trans_c[:, :-1]], axis=-1)
+        w_c = jnp.power(jnp.maximum(alpha_c * trans_c, 0.0), temper)
+        w_c = w_c / jnp.maximum(
+            jnp.sum(w_c, axis=1, keepdims=True), 1e-12)
+        w_c = w_c + w_floor / k1
+
+        z_f = _resample_from_weights(z_c, w_c, k_fine, floor=0.0,
+                                     rng=r_fine if perturb else None)
+        z_f = jax.lax.sort(z_f, dimension=1)
+        rgb_f, sigma_f, delta_f = _field_at_z(
+            field, params, rays_o, rays_d, z_f, times=times, train=train,
+            rng=rng, max_level=max_level, grid_binary=grid_binary,
+            grid_spec=grid_spec)
+        sigma_f = sigma_f * valid_ray[:, None]
+
+        diffs = z_f[:, 1:] - z_f[:, :-1]
+        last = jnp.where(occ_far, 1e10, dbin)
+        dists = jnp.concatenate([diffs, last[:, None]], axis=1) * norm
+        rgb_map, depth_map, acc_map, _, extras = _composite_extras(
+            rgb_f, sigma_f, z_f, rays_d, bg_color, dists, delta_f)
+        return rgb_map, depth_map, acc_map, extras
 
     rgb_c, sigma_c, delta_c = _field_at_z(
         field, params, rays_o, rays_d, z_c, times=times, train=train,
@@ -730,6 +779,7 @@ def render_image(
     n_probe: int = 128,
     k_fine: int = 0,
     max_level: Optional[int] = None,
+    hier_coarse: str = "field",
 ) -> jnp.ndarray:
     """Render all given rays without perturbation, chunked via `lax.map`.
 
@@ -743,6 +793,11 @@ def render_image(
         to render_rays_cdf; n_probe is its z-bin count. With k_fine > 0
         the two-pass hierarchical path (render_rays_hier) adds k_fine
         weight-resampled samples per ray.
+      hier_coarse: "field" evaluates the full field at the coarse
+        placements and composites the merged set; "sigma" marches the
+        field's cheap sigma estimate (Field.sigma_at, required) for
+        placement only, and only the k_fine resampled depths pay full
+        evaluations — the baked-field production configuration.
       zs: optional (z [N,k], valid [N], occ_far [N]) explicit importance
         sample positions (render.intervals.image_importance_cdf) —
         switches to render_rays_z.
@@ -789,6 +844,12 @@ def render_image(
         noccp = jnp.pad(n_occ, (0, pad)).reshape(n_chunks, chunk)
         farp = jnp.pad(occ_far, (0, pad)).reshape(n_chunks, chunk)
 
+        if hier_coarse == "sigma" and field.sigma_at is None:
+            raise ValueError(
+                "hier_coarse='sigma' requires a field with a cheap sigma "
+                "estimate (Field.sigma_at, e.g. a baked field)")
+        sigma_at = field.sigma_at if hier_coarse == "sigma" else None
+
         def one_cdf(args):
             o, d, ii, no, of = args
             if k_fine > 0:
@@ -797,7 +858,7 @@ def render_image(
                     near=near, far=far, n_probe=n_probe, k_fine=k_fine,
                     perturb=False, times=times, grid_binary=grid_binary,
                     grid_spec=grid_spec, bg_color=bg_color, train=False,
-                    max_level=max_level)
+                    max_level=max_level, sigma_at=sigma_at)
             else:
                 rgb_map, _, _, _ = render_rays_cdf(
                     field, params, o, d, idx=ii, n_occ=no, occ_far=of,

@@ -46,6 +46,7 @@ class ImageRenderer:
                  ray_budget: Optional[int] = None,
                  sampling: str = "dense",
                  fine_samples: int = 0,
+                 hier_coarse: str = "field",
                  interval_block: int = 4, interval_probes: int = 128,
                  interval_dilate: int = 1,
                  fine_mask: bool = True,
@@ -121,7 +122,8 @@ class ImageRenderer:
                 grid_binary=grid_binary if fine_mask else None,
                 grid_spec=grid_spec, bg_color=bg,
                 cdf=(idx, n_occ, occ_far), n_probe=interval_probes,
-                k_fine=fine_samples, max_level=max_level)
+                k_fine=fine_samples, max_level=max_level,
+                hier_coarse=hier_coarse)
 
         def _render_flat_z(params, rays_o, rays_d, z, valid, occ_far,
                            time_scalar, grid_binary, bg):

@@ -149,3 +149,93 @@ def test_apply_grouped_matches_apply(rng_key):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(rgb_g), np.asarray(rgb_f),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sigma_vol_nearest_matches_vertex_sigma(rng_key):
+    """The sigma-only volume at vertex positions must equal
+    softplus(h0 - 5) of the full bake there (up to int8 quantization)."""
+    from nerf_tpu.render.bake import baked_sigma_nn
+    field, params = _field_params(rng_key)
+    spec = BakedSpec(resolution=33, bound=1.5)
+    baked = bake_instant_field(field, params, spec, dtype=jnp.float32)
+    assert baked["sigma_vol"].shape == (33 ** 3,)
+
+    lin = np.linspace(-1.5, 1.5, 33, dtype=np.float32)
+    idx = np.array([[0, 0, 0], [32, 32, 32], [5, 17, 9], [31, 1, 30]])
+    pts = jnp.asarray(lin[idx])
+    got = np.asarray(baked_sigma_nn(baked, pts, spec))
+    want = np.asarray(jax.nn.softplus(
+        jnp.asarray(_h_ref(field, params, pts))[:, 0] - 5.0))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    # int8 path dequantizes channel 0 with its own scale.
+    q8 = bake_instant_field(field, params, spec, dtype=jnp.int8)
+    got_q = np.asarray(baked_sigma_nn(q8, pts, spec))
+    step = float(np.asarray(q8["qscale"])[0])
+    assert np.all(np.abs(np.log(got_q + 1e-12) - np.log(want + 1e-12))
+                  <= 4.0 * step + 1e-2)
+
+
+def test_hier_sigma_coarse_close_to_dense(rng_key):
+    """Cheap-coarse hierarchical rendering (sigma_at placement, fine-only
+    composite) must stay close to the dense interval render on a baked
+    field, and empty rays must composite to pure background."""
+    from nerf_tpu.render.renderer import render_rays_hier
+    from nerf_tpu.render.intervals import image_occupancy_cdf
+
+    field, params = _field_params(rng_key)
+    # Random-init h0 ~ 0 gives sigma ~ softplus(-5) ~ 0.007 — no surface
+    # anywhere. Bias the sigma net's output so the volume has real density
+    # (sigma ~ softplus(1) ~ 1.3) and the slab boundary forms a surface.
+    params = jax.tree.map(lambda x: x, params)
+    b = params["decoder"]["sigma_net"][-1]["b"]
+    params["decoder"]["sigma_net"][-1]["b"] = \
+        b.at[0].set(b[0] + 6.0)
+    gspec = DensityGridSpec(resolution=16, bound=1.5, threshold=0.01)
+    # Middle slab along x: rays (marching -x from x=2.5) terminate inside
+    # it, so occ_far stays False and the catch-all dist never fires. The
+    # bake folds the pruning (production config) so the field is zero
+    # outside the slab and all sampling schemes integrate the SAME field —
+    # the biased sigma net is dense throughout the volume otherwise.
+    binary = jnp.zeros((16, 16, 16), bool).at[6:10].set(True)
+    bspec = BakedSpec(resolution=160, bound=1.5)
+    baked = bake_instant_field(field, params, bspec, grid_binary=binary,
+                               grid_spec=gspec, dtype=jnp.float32)
+    bfield = build_baked_field(bspec, L_dir=CFG.get("L_embed_dir", 4),
+                               compute_dtype=jnp.float32)
+    assert bfield.sigma_at is not None
+
+    n, near, far = 64, 0.5, 4.5
+    side = 8
+    ro = jnp.broadcast_to(jnp.asarray([2.5, 0.0, 0.0]), (side, side, 3))
+    rd = jax.random.normal(rng_key, (side, side, 3)) * 0.12 \
+        + jnp.asarray([-1.0, 0.0, 0.0])
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+
+    idx, n_occ, occ_far = image_occupancy_cdf(
+        binary, gspec, ro, rd, near, far, 32, block=2, n_probe=96)
+    flat = lambda a: a.reshape(n, *a.shape[2:])
+    rgb_hier, _, _, _ = render_rays_hier(
+        bfield, baked, flat(ro), flat(rd), idx=flat(idx),
+        n_occ=flat(n_occ), occ_far=flat(occ_far), near=near, far=far,
+        n_probe=96, k_fine=32, bg_color=bg, sigma_at=bfield.sigma_at)
+
+    t0, t1 = ray_intervals(binary, gspec, flat(ro), flat(rd),
+                           near, far, 128)
+    dense = render_rays_interval(bfield, baked, flat(ro), flat(rd),
+                                 t0=t0, t1=t1, n_samples=128, far=far,
+                                 bg_color=bg)[0]
+    err = float(jnp.mean(jnp.abs(rgb_hier - dense)))
+    assert err < 0.03, err
+
+    # All-empty grid: every ray must be exactly background.
+    idx0, nocc0, far0 = image_occupancy_cdf(
+        jnp.zeros((16, 16, 16), bool), gspec, ro, rd, near, far, 32,
+        block=2, n_probe=96)
+    rgb0, _, _, _ = render_rays_hier(
+        bfield, baked, flat(ro), flat(rd), idx=flat(idx0),
+        n_occ=flat(nocc0), occ_far=flat(far0), near=near, far=far,
+        n_probe=96, k_fine=32, bg_color=bg, sigma_at=bfield.sigma_at)
+    np.testing.assert_allclose(np.asarray(rgb0),
+                               np.broadcast_to(np.asarray(bg), (n, 3)),
+                               atol=1e-5)

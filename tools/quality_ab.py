@@ -64,7 +64,8 @@ def fps_at_800(renderer, params, binary, density=None, n_frames=3):
 
 def fps_fast(field, params, binary, grid_spec, *, k1, k2, near, far,
              block=8, n_probe=96, dilate=1, fine_mask=False,
-             capacity=True, n_frames=6, chunk=65536):
+             capacity=True, n_frames=6, chunk=65536,
+             hier_coarse="auto"):
     """FPS of the production FrameRenderer path (frame-batched dispatch,
     in-graph rays, occupied-ray compaction, hierarchical sampling)."""
     from nerf_tpu.render.fast import FrameRenderer, \
@@ -84,7 +85,7 @@ def fps_fast(field, params, binary, grid_spec, *, k1, k2, near, far,
                        k_coarse=k1, k_fine=k2, chunk=chunk,
                        grid_spec=grid_spec, probe_block=block,
                        n_probe=n_probe, dilate=dilate, capacity_frac=cap,
-                       fine_mask=fine_mask)
+                       fine_mask=fine_mask, hier_coarse=hier_coarse)
     digest = jax.jit(lambda f: jnp.sum(f[:, ::63, ::63]))
     float(digest(fr(params, poses[:1], grid_binary=binary)))
     t0 = time.perf_counter()
@@ -140,15 +141,16 @@ def main():
     density = grid_state["grid"] if grid_state else None
 
     def add(name, renderer, p=params, dens=None, fast=None):
-        """fast=(field, k1, k2, fine_mask): measure FPS through the
-        production FrameRenderer instead of the per-image path."""
+        """fast=(field, k1, k2, fine_mask, coarse): measure FPS through
+        the production FrameRenderer instead of the per-image path."""
         if args.only and args.only not in name:
             return
         psnr = psnr_over_split(renderer, p, test_set, idxs, binary, dens)
         if args.fps and fast is not None:
-            ffield, k1, k2, fmask = fast
+            ffield, k1, k2, fmask, coarse = fast
             fps = fps_fast(ffield, p, binary, grid_spec, k1=k1, k2=k2,
-                           near=near, far=far, fine_mask=fmask)
+                           near=near, far=far, fine_mask=fmask,
+                           hier_coarse=coarse)
         elif args.fps:
             fps = fps_at_800(renderer, p, binary, dens)
         else:
@@ -215,18 +217,26 @@ def main():
                 dens=density)
         # Two-pass hierarchical (production bench path): FPS measured
         # through the frame-batched FrameRenderer with ray compaction.
-        for k1, k2 in ((12, 12), (16, 16), (16, 8)):
-            add(f"baked {res}^3 {qname}, hier k={k1}+{k2}",
+        # "sigma" coarse = cheap nearest-vertex sigma march for placement
+        # (one scalar gather/pt), full rows only at the k2 fine samples.
+        for k1, k2 in ((16, 16),):
+            add(f"baked {res}^3 {qname}, hierF k={k1}+{k2}",
                 ImageRenderer(bfield, n_samples=k1, fine_samples=k2,
                               sampling="cdf", fine_mask=False, **common),
-                p=baked, fast=(bfield, k1, k2, False))
+                p=baked, fast=(bfield, k1, k2, False, "field"))
+        for k1, k2 in ((32, 16), (32, 12), (24, 16), (48, 16)):
+            add(f"baked {res}^3 {qname}, hierS k={k1}+{k2}",
+                ImageRenderer(bfield, n_samples=k1, fine_samples=k2,
+                              sampling="cdf", fine_mask=False,
+                              hier_coarse="sigma", **common),
+                p=baked, fast=(bfield, k1, k2, False, "sigma"))
 
     # 5. live-field hierarchical rows (no bake)
     for k1, k2 in ((16, 16),):
         add(f"hier k={k1}+{k2}",
             ImageRenderer(field, n_samples=k1, fine_samples=k2,
                           sampling="cdf", **common),
-            fast=(field, k1, k2, True))
+            fast=(field, k1, k2, True, "field"))
 
     lines = ["| render path | test PSNR (dB) | 800x800 FPS |",
              "|---|---|---|"]

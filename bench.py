@@ -92,53 +92,87 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", 10))
     mode = os.environ.get("BENCH_MODE", "baked")
 
-    if mode == "baked":
-        bake_res = int(os.environ.get("BENCH_BAKE_RES", 384))
-        bspec = BakedSpec(resolution=bake_res, bound=bound)
-        baked = bake_instant_field(field, params, bspec,
-                                   grid_binary=binary, grid_spec=grid_spec)
-        render_field = build_baked_field(
-            bspec, L_dir=cfg.get("L_embed_dir", 4))
-        render_params = baked
-        fine_mask = False
-        max_level = None
-    else:
-        render_field, render_params = field, params
-        fine_mask = True
-        max_level = int(os.environ.get("BENCH_MAX_LEVEL", 12))
-
     focal = 0.5 * W / np.tan(0.4)
     poses = orbit_poses(1 + n_frames, radius=4.0, center=[0, 0, 0],
                         height=1.0)
 
-    cap_env = os.environ.get("BENCH_CAPACITY")
-    if cap_env:
-        capacity_frac = None if cap_env == "off" else float(cap_env)
-    else:
-        frac = measure_occupied_fraction(
-            binary, grid_spec, poses, H=H, W=W, focal=focal,
-            near=near, far=far, block=block, n_probe=n_probe,
-            dilate=dilate)
-        capacity_frac = min(1.0, frac + 0.05)
+    if mode == "block":
+        # Production path: block-structured single-pass renderer over the
+        # baked field + fast-zone sigma table (render/block_fast.py).
+        from nerf_tpu.render.block_fast import (
+            BlockFrameRenderer, measure_occupied_block_fraction)
+        bake_res = int(os.environ.get("BENCH_BAKE_RES", 384))
+        sigma_res = int(os.environ.get("BENCH_SIGMA_RES", 224))
+        bspec = BakedSpec(resolution=bake_res, bound=bound)
+        baked = bake_instant_field(field, params, bspec,
+                                   grid_binary=binary,
+                                   grid_spec=grid_spec,
+                                   sigma_res=sigma_res)
+        bfield = build_baked_field(bspec, L_dir=cfg.get("L_embed_dir", 4))
+        cap_env = os.environ.get("BENCH_CAPACITY")
+        if cap_env:
+            capacity_frac = None if cap_env == "off" else float(cap_env)
+        else:
+            capacity_frac = min(1.0, measure_occupied_block_fraction(
+                bfield, baked, bspec, poses, H=H, W=W, focal=focal,
+                near=near, far=far, block=block, n_probe=n_probe) + 0.05)
+        block_renderer = BlockFrameRenderer(
+            bfield, bspec, H=H, W=W, focal=focal, near=near, far=far,
+            k_fine=k2, n_probe=n_probe, block=block,
+            capacity_frac=capacity_frac,
+            temper=float(os.environ.get("BENCH_TEMPER", 0.7)),
+            w_floor=float(os.environ.get("BENCH_FLOOR", 0.15)))
 
-    renderer = FrameRenderer(
-        render_field, H=H, W=W, focal=focal, near=near, far=far,
-        k_coarse=k1, k_fine=k2, chunk=chunk, grid_spec=grid_spec,
-        probe_block=block, n_probe=n_probe, dilate=dilate,
-        capacity_frac=capacity_frac, fine_mask=fine_mask,
-        max_level=max_level,
-        hier_coarse=os.environ.get("BENCH_COARSE", "auto"))
+        def render_frames(ps):
+            return block_renderer(baked, ps)
+    else:
+        if mode == "baked":
+            bake_res = int(os.environ.get("BENCH_BAKE_RES", 384))
+            bspec = BakedSpec(resolution=bake_res, bound=bound)
+            baked = bake_instant_field(field, params, bspec,
+                                       grid_binary=binary,
+                                       grid_spec=grid_spec)
+            render_field = build_baked_field(
+                bspec, L_dir=cfg.get("L_embed_dir", 4))
+            render_params = baked
+            fine_mask = False
+            max_level = None
+        else:
+            render_field, render_params = field, params
+            fine_mask = True
+            max_level = int(os.environ.get("BENCH_MAX_LEVEL", 12))
+
+        cap_env = os.environ.get("BENCH_CAPACITY")
+        if cap_env:
+            capacity_frac = None if cap_env == "off" else float(cap_env)
+        else:
+            frac = measure_occupied_fraction(
+                binary, grid_spec, poses, H=H, W=W, focal=focal,
+                near=near, far=far, block=block, n_probe=n_probe,
+                dilate=dilate)
+            capacity_frac = min(1.0, frac + 0.05)
+
+        renderer = FrameRenderer(
+            render_field, H=H, W=W, focal=focal, near=near, far=far,
+            k_coarse=k1, k_fine=k2, chunk=chunk, grid_spec=grid_spec,
+            probe_block=block, n_probe=n_probe, dilate=dilate,
+            capacity_frac=capacity_frac, fine_mask=fine_mask,
+            max_level=max_level,
+            hier_coarse=os.environ.get("BENCH_COARSE", "auto"))
+
+        def render_frames(ps):
+            return renderer(render_params, ps, grid_binary=binary)
 
     # Tunnel-safe timing: execution is lazy (block_until_ready does not
     # sync) and identical executions are memoized, so the warmup and the
     # timed run use different poses and the timed region ends with ONE
     # jitted digest materialized to the host.
     digest = jax.jit(lambda f: jnp.sum(f[:, ::63, ::63]))
-    warm = renderer(render_params, poses[:1], grid_binary=binary)
+    warm = render_frames(poses[:1])
     float(digest(warm))
 
     t0 = time.perf_counter()
-    frames = renderer(render_params, poses[1:], grid_binary=binary)
+    frames = render_frames(poses[1:])
     float(digest(frames))
     dt = (time.perf_counter() - t0) / n_frames
     fps = 1.0 / dt

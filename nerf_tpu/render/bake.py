@@ -81,7 +81,8 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
                        grid_binary: Optional[jnp.ndarray] = None,
                        grid_spec=None,
                        chunk: int = 1 << 17,
-                       dtype=jnp.int8) -> dict:
+                       dtype=jnp.int8,
+                       sigma_res: int = 224) -> dict:
     """Evaluate the sigma net on every voxel vertex and pack cell rows.
 
     Returns baked params: {"cells": [n_cells, 128] (dtype), "qscale"/
@@ -204,10 +205,104 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
     cells = jnp.zeros((nc, nc * nc, _LANES), out_dtype)
     for cx in range(nc):
         cells = acc_slab(cells, cx, pack_slab(dense, cx))
-    return {"cells": cells.reshape(spec.n_cells, _LANES),
-            "sigma_vol": sigma_vol,
-            "qscale": qscale, "qzero": qzero,
-            "color_net": dec["color_net"]}
+    # Free the 16-channel dense volume BEFORE the sigma-table bake: the
+    # packed table is 8x the dense volume and together with dense +
+    # sigma-bake temporaries the peak exceeds the ~10 GiB the tunneled
+    # chip will grant. The sigma bake only needs channel 0, which
+    # sigma_vol already holds.
+    del dense
+    out = {"cells": cells.reshape(spec.n_cells, _LANES),
+           "sigma_vol": sigma_vol,
+           "qscale": qscale, "qzero": qzero,
+           "color_net": dec["color_net"]}
+    if sigma_res:
+        out.update(bake_sigma_cells(sigma_vol.reshape(r, r, r), spec,
+                                    sigma_res=sigma_res))
+    return out
+
+
+def bake_sigma_cells(dense_h0: jnp.ndarray, spec: BakedSpec,
+                     sigma_res: int = 224) -> dict:
+    """Pack a REDUCED-resolution trilerp-able sigma table into 128-lane
+    rows sized for the chip's fast gather zone.
+
+    Measured (memory: tpu-v5e-performance-model): row gathers from tables
+    <= ~96 MB run at ~2.16 ns vs ~10.8 ns above ~128 MB, and scalar
+    gathers are ~8 ns everywhere — so the render path's cheap sigma
+    estimate must be (a) row-shaped and (b) small. Layout: one row holds
+    16 consecutive z-cells x 8 corner h0 values = 128 int8 lanes; cell
+    (i,j,k) lives in row (i*nc + j)*ceil(nc/16) + k//16 at lane
+    (k%16)*8 + corner. At sigma_res=224 the table is ~89 MB — inside the
+    fast zone with margin.
+
+    `dense_h0` is channel 0 of the QUANTIZED dense bake [r, r, r] int8
+    (or raw dtype); it is trilinearly resized to the sigma lattice in the
+    quantized domain (the affine dequant map commutes with resize).
+    """
+    r_s = sigma_res
+    nc = r_s - 1
+    nk16 = -(-nc // 16)
+
+    @jax.jit
+    def build(vol):
+        v = jax.image.resize(vol.astype(jnp.float32), (r_s, r_s, r_s),
+                             method="linear")
+        corners = []
+        for di in (0, 1):
+            for dj in (0, 1):
+                for dk in (0, 1):
+                    corners.append(jax.lax.slice(
+                        v, (di, dj, dk), (di + nc, dj + nc, dk + nc)))
+        g = jnp.stack(corners, axis=-1)                  # [nc, nc, nc, 8]
+        g = jnp.pad(g, ((0, 0), (0, 0), (0, nk16 * 16 - nc), (0, 0)),
+                    constant_values=_MASKED_H0)
+        g = g.reshape(nc, nc, nk16, 128)
+        return jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8) \
+            .reshape(nc * nc * nk16, 128)
+
+    return {"sigma_cells": build(dense_h0)}
+
+
+def sigma_cells_res(baked: dict) -> int:
+    """Recover the sigma-table lattice resolution from its row count."""
+    n_rows = baked["sigma_cells"].shape[0]
+    for r_s in range(2, 4097):
+        nc = r_s - 1
+        if nc * nc * (-(-nc // 16)) == n_rows:
+            return r_s
+    raise ValueError(f"sigma_cells row count {n_rows} matches no lattice")
+
+
+def baked_sigma_tri(baked: dict, x: jnp.ndarray, spec: BakedSpec,
+                    sigma_res: int) -> jnp.ndarray:
+    """Trilinearly interpolated sigma at world points [N, 3] -> [N].
+
+    One fast-zone row gather per point (16-cell row), a 16-way one-hot
+    cell extract (VPU), an 8-corner reduce, then the instant activation
+    sigma = softplus(h0 - 5) (reference: src/decoders.py:136-162).
+    Pruned voxels baked to h0 = -20 return ~1e-11.
+    """
+    r_s = sigma_res
+    nc = r_s - 1
+    nk16 = -(-nc // 16)
+    xf = x.astype(jnp.float32)
+    x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
+    pos = x01 * (r_s - 1.0)
+    p0 = jnp.clip(jnp.floor(pos), 0.0, r_s - 2.0)
+    frac = pos - p0
+    p0 = p0.astype(jnp.int32)
+    row = (p0[:, 0] * nc + p0[:, 1]) * nk16 + p0[:, 2] // 16
+    sub = p0[:, 2] % 16
+
+    rows = jnp.take(baked["sigma_cells"], row, axis=0, mode="clip") \
+        .reshape(-1, 16, _CORNERS).astype(jnp.float32)
+    onehot = (jnp.arange(16, dtype=jnp.int32)[None, :] == sub[:, None])
+    v = jnp.sum(rows * onehot[:, :, None], axis=1)         # [N, 8]
+    w = _corner_weights(frac)
+    h0 = jnp.sum(v * w, axis=1)
+    if baked.get("qscale") is not None:
+        h0 = h0 * baked["qscale"][0] + baked["qzero"][0]
+    return jax.nn.softplus(h0 - 5.0)
 
 
 def _corner_weights(frac: jnp.ndarray) -> jnp.ndarray:

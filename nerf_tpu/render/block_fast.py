@@ -106,7 +106,7 @@ class BlockFrameRenderer:
                  capacity_frac: Optional[float] = None,
                  temper: float = 0.7, w_floor: float = 0.15,
                  sigma_eps: float = 0.01,
-                 bg_color=None, chunk_blocks: int = 4096):
+                 bg_color=None, chunk_blocks: int = 1024):
         if H % block or W % block:
             raise ValueError(f"H={H}, W={W} must be divisible by "
                              f"block={block}")
@@ -164,6 +164,7 @@ class BlockFrameRenderer:
             total = c[:, -1]
             iota = jnp.arange(n_probe, dtype=jnp.int32)
             cols = []
+            wcols = []
             for j in range(k_fine):
                 u = (j + 0.5) / k_fine * total
                 b = jnp.sum((c < u[:, None]).astype(jnp.int32), axis=1)
@@ -174,12 +175,23 @@ class BlockFrameRenderer:
                 frac = jnp.clip((u - c_prev)
                                 / jnp.maximum(w_b, 1e-12), 0.0, 1.0)
                 cols.append(near + (b.astype(jnp.float32) + frac) * dbin)
+                wcols.append(w_b / jnp.maximum(total, 1e-12))
             z = jnp.stack(cols, axis=1)                    # [NB, k_fine]
-            return z, occ_far, valid
+            # Measure-consistent compositing distances: sample j carries
+            # 1/k_fine of the placement-CDF mass, whose length along the
+            # ray is dbin / (k_fine * pmf(slot_j)). z-difference distances
+            # here would collapse alpha for clustered surface samples
+            # (1 - exp(-sigma*dz) -> 0) — the exact failure the round-2
+            # "importance" mode measured (AB_RESULTS.md negative result).
+            w_s = jnp.stack(wcols, axis=1)                 # [NB, k_fine]
+            dists = jnp.minimum(dbin / (k_fine *
+                                        jnp.maximum(w_s, 1e-6)),
+                                far - near)
+            return z, dists, occ_far, valid
 
         def fine_chunk(baked, rot, cam, args):
             """One chunk of compacted blocks -> [cb, bsq, 3] rgb."""
-            ids, z_b, far_b, valid_b = args
+            ids, z_b, dist_b, far_b, valid_b = args
             cb = chunk_blocks
             d_pix = _pixel_dirs_for_blocks(ids, rot, H, W, focal, block)
             z = jnp.broadcast_to(z_b[:, None, :], (cb, bsq, k_fine)) \
@@ -195,11 +207,13 @@ class BlockFrameRenderer:
                 .reshape(-1)
             sigma = sigma * vmask[:, None].astype(jnp.float32)
 
-            diffs = z[:, 1:] - z[:, :-1]
+            dists = jnp.broadcast_to(dist_b[:, None, :],
+                                     (cb, bsq, k_fine)) \
+                .reshape(cb * bsq, k_fine)
             last = jnp.where(
                 jnp.broadcast_to(far_b[:, None], (cb, bsq)).reshape(-1),
-                1e10, dbin)
-            dists = jnp.concatenate([diffs, last[:, None]], axis=1)
+                1e10, dists[:, -1])
+            dists = jnp.concatenate([dists[:, :-1], last[:, None]], axis=1)
             rgb_map, _, _, _ = composite(rgb, sigma, z,
                                          d_pix.reshape(-1, 3),
                                          bg_color=bg, dists=dists)
@@ -208,12 +222,14 @@ class BlockFrameRenderer:
         def one_frame(baked, pose, sres):
             rot = pose[:3, :3]
             cam = pose[:3, 3]
-            z, occ_far, valid = probe_and_place(baked, rot, cam, sres)
+            z, dist_s, occ_far, valid = probe_and_place(baked, rot, cam,
+                                                        sres)
             take, _ = _compact_indices(valid, min(cap, nb))
             if cap > nb:
                 take = jnp.concatenate(
                     [take, jnp.full((cap - nb,), nb, jnp.int32)])
             z_c = jnp.take(z, take, axis=0, mode="clip")
+            dist_c = jnp.take(dist_s, take, axis=0, mode="clip")
             far_c = jnp.take(occ_far, take, axis=0, mode="clip")
             val_c = jnp.take(valid, take, axis=0, mode="clip")
 
@@ -223,6 +239,7 @@ class BlockFrameRenderer:
             rgb_c = jax.lax.map(body, (
                 take.reshape(n_chunks, chunk_blocks),
                 z_c.reshape(n_chunks, chunk_blocks, k_fine),
+                dist_c.reshape(n_chunks, chunk_blocks, k_fine),
                 far_c.reshape(n_chunks, chunk_blocks),
                 val_c.reshape(n_chunks, chunk_blocks),
             )).reshape(cap, bsq, 3)

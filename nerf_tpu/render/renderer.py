@@ -517,14 +517,21 @@ def render_rays_cdf(
 
 def _resample_from_weights(z: jnp.ndarray, weights: jnp.ndarray,
                            k_fine: int, *, floor: float = 0.01,
-                           rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                           rng: Optional[jax.Array] = None,
+                           return_dists: bool = False):
     """Inverse-CDF resampling of `k_fine` depths from per-coarse-sample
     weights (classic NeRF hierarchical sampling, lane-arithmetic only).
 
     Bins are the z-intervals around each coarse sample (edges at neighbor
     midpoints); the pdf is weights + floor·mean so every bin stays
     reachable. Deterministic mid-quantile placement unless `rng` is given.
-    Returns z_fine [R, k_fine] (unsorted within the merged set).
+    Returns z_fine [R, k_fine] (unsorted within the merged set); with
+    `return_dists` also returns the measure-consistent compositing
+    distance of each sample — 1/k_fine of the CDF mass expressed as ray
+    length, bin_width·total/(k_fine·w_bin). Fine-only composites MUST use
+    these instead of z-differences: clustered surface samples otherwise
+    collapse alpha (the round-2 "importance" negative result,
+    AB_RESULTS.md).
     """
     n_rays, k = z.shape
     mids = 0.5 * (z[:, 1:] + z[:, :-1])
@@ -543,6 +550,7 @@ def _resample_from_weights(z: jnp.ndarray, weights: jnp.ndarray,
     else:
         u_all = None
     cols = []
+    dcols = []
     for j in range(k_fine):
         uj = ((j + 0.5) / k_fine if u_all is None
               else (j + u_all[:, j]) / k_fine)
@@ -556,7 +564,14 @@ def _resample_from_weights(z: jnp.ndarray, weights: jnp.ndarray,
         z_hi = jnp.sum(jnp.where(onehot, hi, 0.0), axis=1)
         frac = jnp.clip((u - c_prev) / jnp.maximum(w_b, 1e-12), 0.0, 1.0)
         cols.append(z_lo + frac * (z_hi - z_lo))
-    return jnp.stack(cols, axis=1)                           # [R, k_fine]
+        if return_dists:
+            dcols.append((z_hi - z_lo) * total[:, 0]
+                         / (k_fine * jnp.maximum(w_b, 1e-12)))
+    z_f = jnp.stack(cols, axis=1)                            # [R, k_fine]
+    if return_dists:
+        span = z[:, -1:] - z[:, :1] + (hi[:, -1:] - lo[:, -1:])
+        return z_f, jnp.minimum(jnp.stack(dcols, axis=1), span)
+    return z_f
 
 
 def render_rays_hier(
@@ -647,18 +662,21 @@ def render_rays_hier(
             jnp.sum(w_c, axis=1, keepdims=True), 1e-12)
         w_c = w_c + w_floor / k1
 
-        z_f = _resample_from_weights(z_c, w_c, k_fine, floor=0.0,
-                                     rng=r_fine if perturb else None)
-        z_f = jax.lax.sort(z_f, dimension=1)
+        z_f, dist_f = _resample_from_weights(
+            z_c, w_c, k_fine, floor=0.0,
+            rng=r_fine if perturb else None, return_dists=True)
         rgb_f, sigma_f, delta_f = _field_at_z(
             field, params, rays_o, rays_d, z_f, times=times, train=train,
             rng=rng, max_level=max_level, grid_binary=grid_binary,
             grid_spec=grid_spec)
         sigma_f = sigma_f * valid_ray[:, None]
 
-        diffs = z_f[:, 1:] - z_f[:, :-1]
-        last = jnp.where(occ_far, 1e10, dbin)
-        dists = jnp.concatenate([diffs, last[:, None]], axis=1) * norm
+        # Measure-consistent dists from the placement pdf (see
+        # _resample_from_weights): a fine-only composite with z-diff
+        # dists collapses alpha where samples cluster on the surface.
+        last = jnp.where(occ_far, 1e10, dist_f[:, -1])
+        dists = jnp.concatenate([dist_f[:, :-1], last[:, None]], axis=1) \
+            * norm
         rgb_map, depth_map, acc_map, _, extras = _composite_extras(
             rgb_f, sigma_f, z_f, rays_d, bg_color, dists, delta_f)
         return rgb_map, depth_map, acc_map, extras

@@ -93,3 +93,36 @@ def test_background_pose_renders_background(rng_key):
     out = np.asarray(fr(params, poses, grid_binary=binary))
     np.testing.assert_allclose(out, np.broadcast_to([0.3, 0.6, 0.9],
                                                     out.shape), atol=1e-6)
+
+
+def test_resample_dists_are_measure_consistent():
+    """The compositing distances returned by _resample_from_weights must
+    partition the placement measure: they sum to ~the sampled span for any
+    weight profile, and a delta-peaked profile must yield per-sample dists
+    of bin_width/k_fine (NOT the near-zero z-differences that collapsed
+    alpha in the round-2 "importance" negative result, AB_RESULTS.md)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from nerf_tpu.render.renderer import _resample_from_weights
+
+    k1, k2 = 16, 8
+    z = jnp.broadcast_to(jnp.linspace(2.0, 6.0, k1), (2, k1))
+    bin_w = 4.0 / (k1 - 1)
+
+    # Uniform weights: dists must tile the span (k1 bins of bin_w).
+    w_u = jnp.ones((2, k1))
+    z_f, d_f = _resample_from_weights(z, w_u, k2, floor=0.0,
+                                      return_dists=True)
+    np.testing.assert_allclose(np.sum(np.asarray(d_f), axis=1),
+                               k1 * bin_w, rtol=1e-5)
+    assert np.all(np.diff(np.asarray(z_f), axis=1) > 0)
+
+    # Delta-peaked weights: all k2 samples land in one bin; each must
+    # carry bin_width/k2 of measure even though z-diffs are ~0.
+    w_d = jnp.zeros((2, k1)).at[:, 5].set(1.0)
+    z_f, d_f = _resample_from_weights(z, w_d, k2, floor=0.0,
+                                      return_dists=True)
+    np.testing.assert_allclose(np.asarray(d_f), bin_w / k2, rtol=1e-5)
+    zf = np.asarray(z_f)
+    lo, hi = 2.0 + 5 * bin_w - bin_w / 2, 2.0 + 5 * bin_w + bin_w / 2
+    assert np.all(zf >= lo - 1e-5) and np.all(zf <= hi + 1e-5)

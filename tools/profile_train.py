@@ -1,10 +1,19 @@
-"""Profile the part2_instant training step on the TPU.
+"""Stage-level timing of the part2_instant train step on the TPU.
 
-Builds the exact trainer step (mask and budget variants) from a config +
-dataset, times each, and writes a profiler trace for the budget variant.
+Isolates the step's cost components to target the <5-minute training
+budget (reference: README.md:12, configs/part2_instant.yaml.example):
+  * full jitted train step (the production path, grid on, budget mode)
+  * forward-only loss
+  * forward+backward without the optimizer update
+  * hash encode forward alone / encode forward+backward (the scatter-add
+    suspect: 16 brick-row scatters per point by the v5e cost model)
+  * occupancy probe + budget selection alone
 
-Usage: python tools/profile_train.py --config /tmp/runcfg/prox_p2i.yaml \
-           --data_dir /tmp/lego_proxy
+Methodology (memory: tpu-v5e-performance-model): one jit per stage,
+varied inputs every timed call (tunnel memoizes), float() digest sync,
+measured null-dispatch overhead subtracted.
+
+Usage: python -u tools/profile_train.py [--batch 16384] [--budget 32]
 """
 
 import argparse
@@ -14,112 +23,118 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-import yaml
-
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", required=True)
-    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--batch", type=int, default=16384)
+    ap.add_argument("--budget", type=int, default=32)
+    ap.add_argument("--n_samples", type=int, default=128)
+    ap.add_argument("--budget_mode", default="first")
+    ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
-    cfg = yaml.safe_load(open(args.config))
 
-    from functools import partial
+    from nerf_tpu import enable_compile_cache
+    enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    from nerf_tpu.data.blender import BlenderDataset, sample_random_rays
     from nerf_tpu.models import build_field
-    from nerf_tpu.render.density_grid import DensityGridSpec
-    from nerf_tpu.render.renderer import render_rays
-    from nerf_tpu.train.common import composite_target
-    from nerf_tpu.train.optimizers import build_optimizer
-    from nerf_tpu.train.part2_instant import tv_loss_flat
+    from nerf_tpu.ops.hashgrid import hash_encode
+    from nerf_tpu.render.density_grid import (DensityGridSpec,
+                                              grid_active_mask)
+    from nerf_tpu.render.renderer import render_rays, _select_k_cdf, \
+        _select_k_per_ray
 
-    train_set = BlenderDataset(args.data_dir, "train",
-                               cfg.get("downscale", 2),
-                               cfg.get("white_bkgd", True),
-                               cfg.get("scene_scale", 1.0))
-    data = train_set.ray_data
-    H, W, focal = train_set.H, train_set.W, train_set.focal
-
+    cfg = {
+        "mode": "part2_instant", "n_levels": 16, "n_features_per_level": 2,
+        "log2_hashmap_size": 19, "base_resolution": 16,
+        "per_level_scale": 1.5, "scene_bound": 1.5, "L_embed_dir": 4,
+        "hidden_dim": 64,
+    }
     field = build_field(cfg)
-    key = jax.random.PRNGKey(0)
-    params = jax.jit(field.init)(key)
-    tx = build_optimizer("adamw", cfg["learning_rate"], cfg["train_iters"],
-                         weight_decay=cfg.get("weight_decay", 1e-5),
-                         eta_min=cfg.get("eta_min", 1e-4),
-                         max_grad_norm=1.0, per_module_clip=True)
-    opt_state = tx.init(params)
-
-    grid_spec = DensityGridSpec(cfg.get("grid_resolution", 128),
-                                cfg.get("scene_bound", 1.5),
-                                cfg.get("grid_threshold", 0.01))
-    lin = np.linspace(-1.5, 1.5, grid_spec.resolution, dtype=np.float32)
+    params = jax.jit(field.init)(jax.random.PRNGKey(0))
+    table_key = next(iter(field.specs))
+    spec = field.specs[table_key]
+    gspec = DensityGridSpec(128, 1.5, 0.01)
+    lin = np.linspace(-1.5, 1.5, 128, dtype=np.float32)
     xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
-    binary = jnp.asarray((xx**2 + yy**2 + zz**2) < 0.9**2)
+    binary = jnp.asarray((xx ** 2 + yy ** 2 + zz ** 2) < 0.9 ** 2)
 
-    batch = cfg["batch_size"]
-    n_samples = cfg["n_samples"]
-    scene_scale = cfg.get("scene_scale", 1.0)
-    near, far = float(cfg.get("near", 2.0)), float(cfg.get("far", 6.0))
-    bgc = jnp.ones((3,), jnp.float32)
+    B, S, K = args.batch, args.n_samples, args.budget
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 4)
+    # Synthetic rays through the ball.
+    d = jax.random.normal(ks[0], (B, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rays_o = -4.0 * d
+    rays_d = d
+    target = jax.random.uniform(ks[1], (B, 3))
 
-    def make_step(ray_budget, use_grid):
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def step(params, opt_state, rng):
-            r_sample, r_render = jax.random.split(rng)
-            rays_o, rays_d, rgba, _ = sample_random_rays(
-                data, r_sample, batch, H, W, focal, scene_scale)
-            target = composite_target(rgba, bgc)
+    null = jax.jit(lambda p: jnp.sum(p))
+    float(null(target))
+    t0 = time.perf_counter()
+    for i in range(args.reps):
+        float(null(target + i * 1e-6))
+    overhead = (time.perf_counter() - t0) / args.reps
+    print(f"dispatch+sync overhead: {overhead*1e3:.1f} ms", flush=True)
 
-            def loss_fn(p):
-                pred, _, _, _ = render_rays(
-                    field, p, rays_o, rays_d, rng=r_render,
-                    near=near, far=far, n_samples=n_samples,
-                    perturb=True, bg_color=bgc, train=True,
-                    grid_binary=binary if use_grid else None,
-                    grid_spec=grid_spec,
-                    ray_budget=ray_budget if use_grid else None)
-                loss_rgb = jnp.mean((pred - target) ** 2)
-                return loss_rgb + tv_loss_flat(p["representation"]) * 1e-6
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = jax.tree.map(lambda a, u: a + u, params, updates)
-            return params, opt_state, loss
-        return step
-
-    def bench(name, step, params, opt_state, n=10):
-        rng = jax.random.PRNGKey(1)
-        rng, s = jax.random.split(rng)
-        params, opt_state, loss = step(params, opt_state, s)
-        float(loss)
+    def timed(name, fn, *arrs):
+        f = jax.jit(fn)
+        float(f(params, *[a + 99e-6 for a in arrs]))
         t0 = time.perf_counter()
-        for _ in range(n):
-            rng, s = jax.random.split(rng)
-            params, opt_state, loss = step(params, opt_state, s)
-        float(loss)
-        dt = (time.perf_counter() - t0) / n
-        print(f"{name}: {dt*1e3:.1f} ms/step")
-        return params, opt_state
+        for i in range(args.reps):
+            float(f(params, *[a + i * 1e-6 for a in arrs]))
+        dt = (time.perf_counter() - t0) / args.reps - overhead
+        print(f"{name:40s} {dt*1e3:8.1f} ms", flush=True)
+        return dt
 
-    p2, o2 = jax.tree.map(lambda x: x, params), tx.init(params)
-    step_budget = make_step(cfg.get("train_ray_budget", 32), True)
-    params_b, opt_b = bench("budget step (grid, k=32)", step_budget,
-                            params, opt_state)
-
-    pm = jax.jit(field.init)(key)
-    step_mask = make_step(None, False)
-    bench("dense mask step (warmup)", step_mask, pm, tx.init(pm))
-
-    os.makedirs("/tmp/nerf_trace_train", exist_ok=True)
     rng = jax.random.PRNGKey(2)
-    with jax.profiler.trace("/tmp/nerf_trace_train"):
-        rng, s = jax.random.split(rng)
-        params_b, opt_b, loss = step_budget(params_b, opt_b, s)
-        float(loss)
-    print("trace written to /tmp/nerf_trace_train")
+
+    def loss_only(p, ro, rd, tg):
+        pred, _, _, _ = render_rays(
+            field, p, ro, rd, rng=rng, near=2.0, far=6.0, n_samples=S,
+            perturb=True, bg_color=jnp.ones(3), train=True,
+            grid_binary=binary, grid_spec=gspec, ray_budget=K,
+            budget_mode=args.budget_mode)
+        return jnp.mean((pred - tg) ** 2)
+
+    timed("forward loss (budget path)", loss_only, rays_o, rays_d, target)
+
+    def fwd_bwd(p, ro, rd, tg):
+        l, g = jax.value_and_grad(loss_only)(p, ro, rd, tg)
+        return l + sum(jnp.sum(x[..., :1]) * 0 for x in jax.tree.leaves(g)) \
+            + jnp.sum(jax.tree.leaves(g)[0][:3].astype(jnp.float32)) * 1e-12
+    timed("forward+backward (budget path)", fwd_bwd, rays_o, rays_d, target)
+
+    # Hash encode alone at the step's point count.
+    pts = jax.random.uniform(ks[2], (B * K, 3), minval=-1.0, maxval=1.0)
+
+    def enc_fwd(p, x):
+        return jnp.sum(hash_encode(p[table_key], x, spec)
+                       .astype(jnp.float32)[::997])
+    timed(f"hash encode fwd ({B*K/1e6:.1f}M pts)", enc_fwd, pts)
+
+    def enc_bwd(p, x):
+        def f(tbl):
+            return jnp.sum(hash_encode(tbl, x, spec).astype(jnp.float32))
+        g = jax.grad(f)(p[table_key])
+        return jnp.sum(g[:5].astype(jnp.float32))
+    timed(f"hash encode fwd+bwd ({B*K/1e6:.1f}M pts)", enc_bwd, pts)
+
+    # Occupancy probe + budget select alone.
+    def probe_select(p, ro, rd):
+        t_lin = jnp.linspace(0.0, 1.0, S, dtype=jnp.float32)
+        z = 2.0 * (1.0 - t_lin) + 6.0 * t_lin
+        pa = ro[:, None, :] + rd[:, None, :] * z[None, :, None]
+        m = grid_active_mask(binary, pa.reshape(-1, 3), gspec) \
+            .reshape(B, S)
+        if args.budget_mode == "cdf":
+            idx, n_act = _select_k_cdf(m, K)
+        else:
+            idx, _ = _select_k_per_ray(m, K)
+        return jnp.sum(idx[::101])
+    timed("occupancy probe + budget select", probe_select, rays_o, rays_d)
 
 
 if __name__ == "__main__":

@@ -193,7 +193,9 @@ def main():
     for res, qdtype, qname in ((256, jnp.int8, "int8"),
                                (384, jnp.int8, "int8")):
         names = [f"baked {res}^3 {qname}, cdf k={k}" for k in (24, 32)] \
-            + [f"baked {res}^3 {qname}, imp k={k}" for k in (12, 16, 24)]
+            + [f"baked {res}^3 {qname}, imp k={k}" for k in (12, 16, 24)] \
+            + [f"baked {res}^3 {qname}, hierF k=16+16",
+               f"baked {res}^3 {qname}, hierS k=32+16"]
         if args.only and not any(args.only in n for n in names):
             continue
         bspec = BakedSpec(resolution=res, bound=cfg.get("scene_bound", 1.5))
@@ -230,6 +232,65 @@ def main():
                               sampling="cdf", fine_mask=False,
                               hier_coarse="sigma", **common),
                 p=baked, fast=(bfield, k1, k2, False, "sigma"))
+
+    # 4b. block-structured single-pass renderer (render/block_fast.py):
+    # probe+placement at 8x8-block rate against the fast-zone sigma
+    # table, fine pass = the only big-table gathers. PSNR from test
+    # poses at the dataset resolution; FPS at 800^2.
+    if (not args.only) or "block" in args.only:
+        from nerf_tpu.render.block_fast import (
+            BlockFrameRenderer, measure_occupied_block_fraction)
+        from nerf_tpu.render.rays import orbit_poses
+        from nerf_tpu.utils.metrics import compute_psnr
+        res = 384
+        bspec = BakedSpec(resolution=res, bound=cfg.get("scene_bound", 1.5))
+        baked = bake_instant_field(field, params, bspec, dtype=jnp.int8,
+                                   grid_binary=binary, grid_spec=grid_spec)
+        bfield = build_baked_field(bspec, L_dir=L_dir)
+        Ht = test_set.H - test_set.H % 8
+        Wt = test_set.W - test_set.W % 8
+        test_poses = [np.asarray(test_set.poses[i]) for i in idxs]
+        for k2 in (8, 12, 16):
+            name = f"block {res}^3, k_fine={k2}"
+            if args.only and args.only not in name:
+                continue
+            frac = measure_occupied_block_fraction(
+                bfield, baked, bspec, test_poses, H=Ht, W=Wt,
+                focal=float(test_set.focal), near=near, far=far)
+            br = BlockFrameRenderer(
+                bfield, bspec, H=Ht, W=Wt, focal=float(test_set.focal),
+                near=near, far=far, k_fine=k2,
+                capacity_frac=min(1.0, frac + 0.05))
+            ps = []
+            for i in idxs:
+                img = np.clip(np.asarray(
+                    br.render_pose(baked, test_poses[i])), 0.0, 1.0)
+                _, _, target = test_set.get_image_rays(i)
+                tgt = np.asarray(target).reshape(
+                    test_set.H, test_set.W, 3)[:Ht, :Wt]
+                ps.append(compute_psnr(float(np.mean((img - tgt) ** 2))))
+            psnr = float(np.mean(ps))
+            fps = float("nan")
+            if args.fps:
+                H8 = W8 = 800
+                f8 = 0.5 * W8 / np.tan(0.4)
+                oposes = orbit_poses(4, radius=4.0, center=[0, 0, 0],
+                                     height=1.0)
+                frac8 = measure_occupied_block_fraction(
+                    bfield, baked, bspec, oposes, H=H8, W=W8, focal=f8,
+                    near=near, far=far)
+                br8 = BlockFrameRenderer(
+                    bfield, bspec, H=H8, W=W8, focal=f8, near=near,
+                    far=far, k_fine=k2,
+                    capacity_frac=min(1.0, frac8 + 0.05))
+                digest = jax.jit(lambda f: jnp.sum(f[:, ::63, ::63]))
+                float(digest(br8(baked, oposes[:1])))
+                t0 = time.perf_counter()
+                float(digest(br8(baked, oposes[1:])))
+                fps = 3.0 / (time.perf_counter() - t0)
+            rows.append((name, psnr, fps))
+            print(f"{name:44s}  PSNR {psnr:6.2f} dB   FPS {fps:6.2f}",
+                  flush=True)
 
     # 5. live-field hierarchical rows (no bake)
     for k1, k2 in ((16, 16),):

@@ -101,7 +101,7 @@ def main():
         # baked field + fast-zone sigma table (render/block_fast.py).
         from nerf_tpu.render.block_fast import (
             BlockFrameRenderer, measure_occupied_block_fraction)
-        bake_res = int(os.environ.get("BENCH_BAKE_RES", 384))
+        bake_res = int(os.environ.get("BENCH_BAKE_RES", 256))
         sigma_res = int(os.environ.get("BENCH_SIGMA_RES", 224))
         bspec = BakedSpec(resolution=bake_res, bound=bound)
         baked = bake_instant_field(field, params, bspec,
@@ -127,7 +127,7 @@ def main():
             return block_renderer(baked, ps)
     else:
         if mode == "baked":
-            bake_res = int(os.environ.get("BENCH_BAKE_RES", 384))
+            bake_res = int(os.environ.get("BENCH_BAKE_RES", 256))
             bspec = BakedSpec(resolution=bake_res, bound=bound)
             baked = bake_instant_field(field, params, bspec,
                                        grid_binary=binary,

@@ -1,31 +1,37 @@
-"""Block-structured single-pass fast rendering: the production bench path.
+"""Block-structured hierarchical fast rendering: the production bench path.
 
 The measured v5e cost model (memory: tpu-v5e-performance-model) is
 descriptor-rate gathers: ~10.8 ns/row from the multi-GB baked color table,
 ~2.16 ns/row from tables under ~96 MB, scalars ~8 ns everywhere, scatters
 like slow gathers. The round-2 fast path spent most of its frame on
-gathers that were NOT field evaluations: per-pixel CDF materialization,
-a 640k-ray compaction scatter plus five per-ray takes, and a per-pixel
-"cheap" coarse march whose scalar gathers cost as much as full rows.
+gathers that were NOT field evaluations: per-pixel CDF materialization, a
+640k-ray compaction (scatter + five per-ray takes, ~94 ms), and a coarse
+march of per-point SCALAR gathers (~8 ns each, ~118 ms).
 
-This renderer restructures the frame so the ONLY slow-zone gathers are
-the k_fine color-row lookups that produce the image:
+This renderer restructures the frame into three rates so that the only
+slow-zone gathers are the k_fine color rows that produce the image, and
+every other memory access is either block-rate or fast-zone:
 
-  * PROBE + PLACEMENT at 8x8-pixel block rate: one ray per block marches
-    `n_probe` bins against the fast-zone sigma table (bake.baked_sigma_tri,
-    ~2 ns/pt), the profile is 3x3-max-pooled for silhouette conservatism,
-    and a TEMPERED transmittance-weighted CDF places k_fine continuous
-    depths per block. Tempering (w^temper) plus a uniform floor over
-    occupied bins are the fix for the round-2 "importance" negative result
-    (over-sharp coarse profiles absorb the budget into one bin and then
-    z-diff compositing distances underestimate opacity; AB_RESULTS.md).
-  * COMPACTION at block rate: a 10k-element counting-sort scatter instead
-    of 640k; per-pixel rays are reconstructed from block ids by iota
-    arithmetic (zero gathers), and per-pixel depths broadcast from the
-    block rows.
-  * One FINE pass: k_fine baked-field evaluations per pixel (the only
-    big-table gathers), grouped color MLP, z-diff compositing, and a
-    block-granular scatter back onto a background-filled image.
+  * PROBE at 8x8-pixel block rate: one ray per block marches `n_probe`
+    bins against the fast-zone sigma table (bake.baked_sigma_tri, one
+    ~2 ns 128-lane row per point), and the occupancy profile is
+    3x3-max-pooled so a surface any neighboring block sees stays
+    reachable for every pixel (silhouette conservatism).
+  * COMPACTION at block rate: a ~10k-element counting-sort prefix instead
+    of 640k rays; per-pixel rays are reconstructed from block ids by iota
+    arithmetic (zero gathers).
+  * COARSE pass per pixel: k_coarse depths shared per block at the
+    quantiles of the block's occupied-bin CDF (never in inter-object
+    gaps), but sigma evaluated PER PIXEL from the fast-zone table — the
+    same two-pass scheme that measures 26.3 dB at k=32+12 through the
+    per-ray hier path (AB_RESULTS.md hierS rows), here at ~2.16 ns/pt.
+  * FINE pass per pixel: k_fine depths by inverse-CDF of the coarse
+    transmittance weights (tempered + floored), evaluated on the baked
+    color field (the only big-table gathers), composited with
+    MEASURE-CONSISTENT distances — each sample carries 1/k_fine of the
+    placement-CDF mass as ray length. z-difference distances here
+    collapse alpha for clustered surface samples (the round-2
+    "importance" negative result, AB_RESULTS.md).
 
 Reference parity: this is the TPU realization of the reference's
 density-grid empty-space skipping + render path (reference:
@@ -42,7 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bake import BakedSpec, baked_sigma_tri, sigma_cells_res
-from .renderer import _compact_indices
+from .renderer import _compact_indices, _resample_from_weights
 from ..ops.volume import composite
 
 
@@ -90,20 +96,23 @@ class BlockFrameRenderer:
       spec: BakedSpec of the color table.
       H/W/focal: image geometry (H, W divisible by `block`).
       near/far: march range.
+      k_coarse: sigma-march samples per pixel (fast-zone row gathers).
       k_fine: color samples per pixel (the slow-zone gather budget).
-      n_probe: sigma-march bins per block ray.
+      n_probe: block-probe march bins.
       block: pixel tile edge (8 => one probe ray per 64 pixels).
       capacity_frac: fraction of blocks rendered (prefix after
         compaction); None disables block compaction.
-      temper/w_floor: placement-CDF robustness knobs (see module doc).
-      sigma_eps: occupancy threshold on marched sigma.
+      temper/w_floor: placement-pdf robustness knobs — w^temper flattens
+        an over-sharp coarse profile, the floor keeps every coarse sample
+        reachable (AB_RESULTS.md hierS rows measured with 0.7 / 0.15).
+      sigma_eps: occupancy threshold on probed sigma.
       chunk_blocks: fine-pass lax.map chunk (compile-size / HBM bound).
     """
 
     def __init__(self, bfield, spec: BakedSpec, *, H: int, W: int,
                  focal: float, near: float, far: float,
-                 k_fine: int = 12, n_probe: int = 96, block: int = 8,
-                 capacity_frac: Optional[float] = None,
+                 k_coarse: int = 32, k_fine: int = 12, n_probe: int = 96,
+                 block: int = 8, capacity_frac: Optional[float] = None,
                  temper: float = 0.7, w_floor: float = 0.15,
                  sigma_eps: float = 0.01,
                  bg_color=None, chunk_blocks: int = 1024):
@@ -128,9 +137,10 @@ class BlockFrameRenderer:
         self.capacity = cap
         dbin = (far - near) / n_probe
         bsq = block * block
+        k1, k2 = k_coarse, k_fine
 
-        def probe_and_place(baked, rot, cam, sres):
-            """[NB] block rays -> (z [NB, k_fine], occ_far, valid)."""
+        def probe(baked, rot, cam, sres):
+            """Block-rate occupancy profile: occ [NB, P], occ_far, valid."""
             d = cdirs @ rot.T
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
             zc = near + (jnp.arange(n_probe, dtype=jnp.float32) + 0.5) \
@@ -145,76 +155,74 @@ class BlockFrameRenderer:
                 window_dimensions=(3, 3, 1), window_strides=(1, 1, 1),
                 padding="SAME").reshape(nb, n_probe)
             occ = sig > sigma_eps
-            n_occ = jnp.sum(occ.astype(jnp.float32), axis=1)
-            valid = n_occ > 0.0
-            occ_far = occ[:, -1]
+            valid = jnp.any(occ, axis=1)
+            return occ, occ[:, -1], valid
 
-            alpha = 1.0 - jnp.exp(-sig * dbin)
-            trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
-            trans = jnp.concatenate(
-                [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
-            w = jnp.power(jnp.maximum(alpha * trans, 0.0), temper)
-            w = w * occ.astype(jnp.float32)
-            w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
-            w = w + w_floor * occ.astype(jnp.float32) \
-                / jnp.maximum(n_occ[:, None], 1.0)
-            w = jnp.where(valid[:, None], w, 1.0 / n_probe)
-
-            c = jnp.cumsum(w, axis=1)
-            total = c[:, -1]
-            iota = jnp.arange(n_probe, dtype=jnp.int32)
-            cols = []
-            wcols = []
-            for j in range(k_fine):
-                u = (j + 0.5) / k_fine * total
-                b = jnp.sum((c < u[:, None]).astype(jnp.int32), axis=1)
-                b = jnp.minimum(b, n_probe - 1)
-                onehot = (iota[None, :] == b[:, None])
-                c_prev = jnp.sum(jnp.where(onehot, c - w, 0.0), axis=1)
-                w_b = jnp.sum(jnp.where(onehot, w, 0.0), axis=1)
-                frac = jnp.clip((u - c_prev)
-                                / jnp.maximum(w_b, 1e-12), 0.0, 1.0)
-                cols.append(near + (b.astype(jnp.float32) + frac) * dbin)
-                wcols.append(w_b / jnp.maximum(total, 1e-12))
-            z = jnp.stack(cols, axis=1)                    # [NB, k_fine]
-            # Measure-consistent compositing distances: sample j carries
-            # 1/k_fine of the placement-CDF mass, whose length along the
-            # ray is dbin / (k_fine * pmf(slot_j)). z-difference distances
-            # here would collapse alpha for clustered surface samples
-            # (1 - exp(-sigma*dz) -> 0) — the exact failure the round-2
-            # "importance" mode measured (AB_RESULTS.md negative result).
-            w_s = jnp.stack(wcols, axis=1)                 # [NB, k_fine]
-            dists = jnp.minimum(dbin / (k_fine *
-                                        jnp.maximum(w_s, 1e-6)),
-                                far - near)
-            return z, dists, occ_far, valid
-
-        def fine_chunk(baked, rot, cam, args):
+        def fine_chunk(baked, rot, cam, sres, args):
             """One chunk of compacted blocks -> [cb, bsq, 3] rgb."""
-            ids, z_b, dist_b, far_b, valid_b = args
+            ids, occ_b, far_b, valid_b = args
             cb = chunk_blocks
             d_pix = _pixel_dirs_for_blocks(ids, rot, H, W, focal, block)
-            z = jnp.broadcast_to(z_b[:, None, :], (cb, bsq, k_fine)) \
-                .reshape(cb * bsq, k_fine)
-            pts = cam[None, None, :] \
-                + d_pix.reshape(-1, 3)[:, None, :] * z[..., None]
-            rgb, sigma = bfield.apply_grouped(
-                baked, pts.reshape(cb * bsq, k_fine, 3),
-                d_pix.reshape(-1, 3))
-            rgb = rgb.astype(jnp.float32).reshape(-1, k_fine, 3)
-            sigma = sigma.astype(jnp.float32).reshape(-1, k_fine)
-            vmask = jnp.broadcast_to(valid_b[:, None], (cb, bsq)) \
-                .reshape(-1)
-            sigma = sigma * vmask[:, None].astype(jnp.float32)
 
-            dists = jnp.broadcast_to(dist_b[:, None, :],
-                                     (cb, bsq, k_fine)) \
-                .reshape(cb * bsq, k_fine)
+            # Coarse depths per block: quantiles of the occupied-bin CDF
+            # (never in gaps), shared by the block's pixels.
+            occ_f = occ_b.astype(jnp.float32)
+            n_occ = jnp.sum(occ_f, axis=1)                 # [cb]
+            c = jnp.cumsum(occ_f, axis=1)
+            iota = jnp.arange(n_probe, dtype=jnp.int32)
+            cols = []
+            for j in range(k1):
+                u = (j + 0.5) / k1 * n_occ
+                b = jnp.sum((c < u[:, None]).astype(jnp.int32), axis=1)
+                cols.append(jnp.minimum(b, n_probe - 1))
+            idx_c = jnp.stack(cols, axis=1)                # [cb, k1]
+            z_c = near + (idx_c.astype(jnp.float32) + 0.5) * dbin
+
+            # Per-pixel sigma at the shared coarse depths (fast-zone rows).
+            z_cp = jnp.broadcast_to(z_c[:, None, :], (cb, bsq, k1)) \
+                .reshape(cb * bsq, k1)
+            pts_c = cam[None, None, :] \
+                + d_pix.reshape(-1, 3)[:, None, :] * z_cp[..., None]
+            sig_c = baked_sigma_tri(baked, pts_c.reshape(-1, 3), spec,
+                                    sres).reshape(cb * bsq, k1)
+            vmask = jnp.broadcast_to(valid_b[:, None], (cb, bsq)) \
+                .reshape(-1).astype(jnp.float32)
+            sig_c = sig_c * vmask[:, None]
+
+            # Transmittance weights over the coarse set with
+            # measure-preserving coarse dists (n_occ*dbin/k1), tempered +
+            # floored for robustness against the table's band limit.
+            dist_c = jnp.broadcast_to(
+                (n_occ * dbin / k1)[:, None, None], (cb, bsq, k1)) \
+                .reshape(cb * bsq, k1)
+            alpha_c = 1.0 - jnp.exp(-sig_c * dist_c)
+            trans_c = jnp.cumprod(1.0 - alpha_c + 1e-10, axis=-1)
+            trans_c = jnp.concatenate(
+                [jnp.ones_like(trans_c[:, :1]), trans_c[:, :-1]], axis=-1)
+            w_c = jnp.power(jnp.maximum(alpha_c * trans_c, 0.0), temper)
+            w_c = w_c / jnp.maximum(jnp.sum(w_c, axis=1, keepdims=True),
+                                    1e-12)
+            w_c = w_c + w_floor / k1
+
+            # Fine depths per pixel by inverse-CDF, with the
+            # measure-consistent compositing distances.
+            z_f, dist_f = _resample_from_weights(z_cp, w_c, k2, floor=0.0,
+                                                 return_dists=True)
+
+            pts = cam[None, None, :] \
+                + d_pix.reshape(-1, 3)[:, None, :] * z_f[..., None]
+            rgb, sigma = bfield.apply_grouped(
+                baked, pts.reshape(cb * bsq, k2, 3), d_pix.reshape(-1, 3))
+            rgb = rgb.astype(jnp.float32).reshape(-1, k2, 3)
+            sigma = sigma.astype(jnp.float32).reshape(-1, k2)
+            sigma = sigma * vmask[:, None]
+
             last = jnp.where(
                 jnp.broadcast_to(far_b[:, None], (cb, bsq)).reshape(-1),
-                1e10, dists[:, -1])
-            dists = jnp.concatenate([dists[:, :-1], last[:, None]], axis=1)
-            rgb_map, _, _, _ = composite(rgb, sigma, z,
+                1e10, dist_f[:, -1])
+            dists = jnp.concatenate([dist_f[:, :-1], last[:, None]],
+                                    axis=1)
+            rgb_map, _, _, _ = composite(rgb, sigma, z_f,
                                          d_pix.reshape(-1, 3),
                                          bg_color=bg, dists=dists)
             return rgb_map.reshape(cb, bsq, 3)
@@ -222,24 +230,21 @@ class BlockFrameRenderer:
         def one_frame(baked, pose, sres):
             rot = pose[:3, :3]
             cam = pose[:3, 3]
-            z, dist_s, occ_far, valid = probe_and_place(baked, rot, cam,
-                                                        sres)
+            occ, occ_far, valid = probe(baked, rot, cam, sres)
             take, _ = _compact_indices(valid, min(cap, nb))
             if cap > nb:
                 take = jnp.concatenate(
                     [take, jnp.full((cap - nb,), nb, jnp.int32)])
-            z_c = jnp.take(z, take, axis=0, mode="clip")
-            dist_c = jnp.take(dist_s, take, axis=0, mode="clip")
+            occ_c = jnp.take(occ, take, axis=0, mode="clip")
             far_c = jnp.take(occ_far, take, axis=0, mode="clip")
             val_c = jnp.take(valid, take, axis=0, mode="clip")
 
             def body(args):
-                return fine_chunk(baked, rot, cam, args)
+                return fine_chunk(baked, rot, cam, sres, args)
 
             rgb_c = jax.lax.map(body, (
                 take.reshape(n_chunks, chunk_blocks),
-                z_c.reshape(n_chunks, chunk_blocks, k_fine),
-                dist_c.reshape(n_chunks, chunk_blocks, k_fine),
+                occ_c.reshape(n_chunks, chunk_blocks, n_probe),
                 far_c.reshape(n_chunks, chunk_blocks),
                 val_c.reshape(n_chunks, chunk_blocks),
             )).reshape(cap, bsq, 3)

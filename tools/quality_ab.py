@@ -199,6 +199,11 @@ def main():
         if args.only and not any(args.only in n for n in names):
             continue
         bspec = BakedSpec(resolution=res, bound=cfg.get("scene_bound", 1.5))
+        # Free the previous resolution's device tables before baking the
+        # next (384^3 int8 is 7.2 GB; two bakes do not fit HBM together).
+        baked = bfield = None
+        import gc
+        gc.collect()
         t0 = time.perf_counter()
         baked = bake_instant_field(field, params, bspec, dtype=qdtype,
                                    grid_binary=binary, grid_spec=grid_spec)
@@ -242,7 +247,7 @@ def main():
             BlockFrameRenderer, measure_occupied_block_fraction)
         from nerf_tpu.render.rays import orbit_poses
         from nerf_tpu.utils.metrics import compute_psnr
-        res = 384
+        res = 256
         bspec = BakedSpec(resolution=res, bound=cfg.get("scene_bound", 1.5))
         baked = bake_instant_field(field, params, bspec, dtype=jnp.int8,
                                    grid_binary=binary, grid_spec=grid_spec)
@@ -250,8 +255,8 @@ def main():
         Ht = test_set.H - test_set.H % 8
         Wt = test_set.W - test_set.W % 8
         test_poses = [np.asarray(test_set.poses[i]) for i in idxs]
-        for k2 in (8, 12, 16):
-            name = f"block {res}^3, k_fine={k2}"
+        for k1, k2 in ((32, 8), (32, 12), (32, 16), (24, 12)):
+            name = f"block {res}^3, k={k1}+{k2}"
             if args.only and args.only not in name:
                 continue
             frac = measure_occupied_block_fraction(
@@ -259,7 +264,7 @@ def main():
                 focal=float(test_set.focal), near=near, far=far)
             br = BlockFrameRenderer(
                 bfield, bspec, H=Ht, W=Wt, focal=float(test_set.focal),
-                near=near, far=far, k_fine=k2,
+                near=near, far=far, k_coarse=k1, k_fine=k2,
                 capacity_frac=min(1.0, frac + 0.05))
             ps = []
             for i in idxs:
@@ -281,7 +286,7 @@ def main():
                     near=near, far=far)
                 br8 = BlockFrameRenderer(
                     bfield, bspec, H=H8, W=W8, focal=f8, near=near,
-                    far=far, k_fine=k2,
+                    far=far, k_coarse=k1, k_fine=k2,
                     capacity_frac=min(1.0, frac8 + 0.05))
                 digest = jax.jit(lambda f: jnp.sum(f[:, ::63, ::63]))
                 float(digest(br8(baked, oposes[:1])))

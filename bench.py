@@ -83,14 +83,14 @@ def main():
     near = float(cfg.get("near", 2.0))
     far = float(cfg.get("far", 6.0))
 
-    k1 = int(os.environ.get("BENCH_K1", 16))
-    k2 = int(os.environ.get("BENCH_K2", 16))
+    mode = os.environ.get("BENCH_MODE", "block")
+    k1 = int(os.environ.get("BENCH_K1", 32))
+    k2 = int(os.environ.get("BENCH_K2", 12 if mode == "block" else 16))
     block = int(os.environ.get("BENCH_BLOCK", 8))
     n_probe = int(os.environ.get("BENCH_PROBES", 96))
     dilate = int(os.environ.get("BENCH_DILATE", 1))
     chunk = int(os.environ.get("BENCH_CHUNK", 65536))
     n_frames = int(os.environ.get("BENCH_FRAMES", 10))
-    mode = os.environ.get("BENCH_MODE", "baked")
 
     focal = 0.5 * W / np.tan(0.4)
     poses = orbit_poses(1 + n_frames, radius=4.0, center=[0, 0, 0],
@@ -118,7 +118,7 @@ def main():
                 near=near, far=far, block=block, n_probe=n_probe) + 0.05)
         block_renderer = BlockFrameRenderer(
             bfield, bspec, H=H, W=W, focal=focal, near=near, far=far,
-            k_fine=k2, n_probe=n_probe, block=block,
+            k_coarse=k1, k_fine=k2, n_probe=n_probe, block=block,
             capacity_frac=capacity_frac,
             temper=float(os.environ.get("BENCH_TEMPER", 0.7)),
             w_floor=float(os.environ.get("BENCH_FLOOR", 0.15)))

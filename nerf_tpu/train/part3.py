@@ -443,9 +443,19 @@ def _part3_eval(cfg, args, field, params, grid_state, grid_spec,
     if cfg.get("mesh_devices", 1) > 1:
         from ..parallel.mesh import make_mesh
         eval_mesh = make_mesh(cfg["mesh_devices"])
+    dense_renderer = ImageRenderer(
+        render_field, near=near, far=far, n_samples=render_n_samples,
+        chunk=min(chunk, max(1024, (16384 * 128 // render_n_samples)
+                             // 1024 * 1024)),
+        grid_spec=grid_spec, capacity=eval_capacity, blend=blend,
+        mesh=eval_mesh)
     if binary is not None and ray_budget is not None:
         # Occupancy-CDF sampling: the budget is spent evenly over the
-        # occupied z-bins (no tail truncation, no samples in gaps).
+        # occupied z-bins (no tail truncation, no samples in gaps). Used
+        # for the orbit VIDEO frames (300 of them); the reported test
+        # metric below renders dense masked — the reference's estimator
+        # (reference: src/renderer.py:303-343) — unless eval_ray_budget
+        # explicitly trades that for speed.
         renderer = ImageRenderer(render_field, near=near, far=far,
                                  n_samples=ray_budget,
                                  chunk=min(chunk, 65536),
@@ -453,10 +463,11 @@ def _part3_eval(cfg, args, field, params, grid_state, grid_spec,
                                  max_level=cfg.get("render_max_level"),
                                  blend=blend, mesh=eval_mesh)
     else:
-        renderer = ImageRenderer(render_field, near=near, far=far,
-                                 n_samples=render_n_samples, chunk=chunk,
-                                 grid_spec=grid_spec, capacity=eval_capacity,
-                                 blend=blend, mesh=eval_mesh)
+        renderer = dense_renderer
+    if not cfg.get("eval_ray_budget"):
+        metric_renderer = dense_renderer
+    else:
+        metric_renderer = renderer
     picture_dir = os.path.join(log_dir, "picture")
     os.makedirs(picture_dir, exist_ok=True)
 
@@ -488,8 +499,8 @@ def _part3_eval(cfg, args, field, params, grid_state, grid_spec,
         psnrs = []
         for i in range(num):
             rays_o, rays_d, target, t = test_set.get_image_rays(i)
-            pred = renderer(params, rays_o, rays_d, time=t,
-                            grid_binary=binary, bg_color=fixed_bg)
+            pred = metric_renderer(params, rays_o, rays_d, time=t,
+                                   grid_binary=binary, bg_color=fixed_bg)
             pred = jnp.clip(pred, 0.0, 1.0)
             p = compute_psnr(float(jnp.mean((pred - target) ** 2)))
             psnrs.append(p)

@@ -521,25 +521,32 @@ def run_part4(cfg: dict, args) -> None:
     binary = grid_state["binary"] if grid_state is not None else None
     if args.eval_only:
         # Test-set PSNR pass (reference: run.py:2121-2160).
+        # The reported test metric renders dense masked — the reference's
+        # estimator (reference: src/renderer.py:303-343, run.py:2121-2160);
+        # budgeted CDF rendering underreports by ~1 dB at k=32
+        # (AB_RESULTS.md). eval_ray_budget explicitly opts into the fast
+        # estimator; render_ray_budget still governs the orbit video.
         eval_capacity = None
-        ray_budget = cfg.get("render_ray_budget")
-        if binary is not None and ray_budget is None \
+        eval_budget = cfg.get("eval_ray_budget")
+        if binary is not None and eval_budget is None \
                 and active_ratio < switch_ratio:
             eval_capacity = max(4096, int(chunk * render_n_samples
                                           * cap_frac) // 1024 * 1024)
-        if binary is not None and ray_budget is not None:
+        if binary is not None and eval_budget is not None:
             renderer = ImageRenderer(field.blended_field, near=near,
                                      far=far, blend=field.blend_params,
-                                     n_samples=ray_budget,
+                                     n_samples=eval_budget,
                                      chunk=min(chunk, 65536),
                                      grid_spec=grid_spec, sampling="cdf",
                                      max_level=cfg.get("render_max_level"))
         else:
-            renderer = ImageRenderer(field.blended_field, near=near,
-                                     far=far, blend=field.blend_params,
-                                     n_samples=render_n_samples, chunk=chunk,
-                                     grid_spec=grid_spec,
-                                     capacity=eval_capacity)
+            renderer = ImageRenderer(
+                field.blended_field, near=near, far=far,
+                blend=field.blend_params, n_samples=render_n_samples,
+                chunk=min(chunk, max(1024, (16384 * 128
+                                            // render_n_samples)
+                                     // 1024 * 1024)),
+                grid_spec=grid_spec, capacity=eval_capacity)
         avg_psnr, psnrs = evaluate_split(field, params, test_set, renderer,
                                          grid_binary=binary,
                                          bg_color=fixed_bg)

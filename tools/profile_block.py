@@ -1,12 +1,17 @@
-"""Stage-level timing of the block-structured render path on the TPU.
+"""Stage-level timing of the block-structured hierarchical render path.
 
-Methodology (memory: tpu-v5e-performance-model): each stage is ONE jit
-(no fori_loop chaining — giant chained graphs compile pathologically on
-the remote compiler). Every timed call perturbs its input so the tunnel
-cannot memoize, and ends in float() on a small digest. A null-jit call
-measures the ~30 ms dispatch+sync overhead, which is subtracted.
+Stages (mirroring render/block_fast.py): block probe (sigma march +
+3x3 pool), coarse per-pixel sigma at CDF depths, fine-placement CDF
+loop, fine pass (color rows + grouped MLP + composite), synthetic
+gather floor, and the whole compiled frame.
 
-Usage: python -u tools/profile_block.py [--k 16] [--probes 96]
+Methodology (memory: tpu-v5e-performance-model): one jit per stage
+with `baked` as an explicit argument (captured multi-GB constants get
+embedded in the executable and have broken the remote-compile tunnel),
+varied inputs every timed call (the tunnel memoizes), float() digest
+sync, measured null-dispatch overhead subtracted.
+
+Usage: python -u tools/profile_block.py [--k1 32] [--k2 12]
 """
 
 import argparse
@@ -19,11 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--k", type=int, default=16)
+    ap.add_argument("--k1", type=int, default=32)
+    ap.add_argument("--k2", type=int, default=12)
     ap.add_argument("--probes", type=int, default=96)
     ap.add_argument("--sigres", type=int, default=224)
-    ap.add_argument("--res", type=int, default=384)
+    ap.add_argument("--res", type=int, default=256)
     ap.add_argument("--block", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--ckpt",
                     default="output/part2_instant/lego_proxy/best_model.pth")
     args = ap.parse_args()
@@ -44,6 +51,7 @@ def main():
                                             measure_occupied_block_fraction,
                                             _block_center_dirs,
                                             _pixel_dirs_for_blocks)
+    from nerf_tpu.render.renderer import _resample_from_weights
     from nerf_tpu.ops.volume import composite
     from nerf_tpu.utils.checkpoint import load_checkpoint
 
@@ -71,119 +79,128 @@ def main():
     poses = orbit_poses(8, radius=4.0, center=[0, 0, 0], height=1.0)
     sres = sigma_cells_res(baked)
     pose = jnp.asarray(poses[0], jnp.float32)
+    k1, k2 = args.k1, args.k2
+    n_probe = args.probes
+    dbin = (far - near) / n_probe
 
     null = jax.jit(lambda p: jnp.sum(p))
     float(null(pose))
     t0 = time.perf_counter()
-    for i in range(5):
+    for i in range(args.reps):
         float(null(pose + i * 1e-6))
-    overhead = (time.perf_counter() - t0) / 5
+    overhead = (time.perf_counter() - t0) / args.reps
     print(f"dispatch+sync overhead: {overhead*1e3:.1f} ms", flush=True)
 
-    def timed(name, fn, reps=5):
-        # `baked` rides as an explicit jit argument: captured multi-GB
-        # constants get embedded in the executable and shipped through the
-        # remote-compile tunnel (which they have broken before).
+    def timed(name, fn, reps=None):
+        reps = reps or args.reps
         f = jax.jit(fn)
         float(f(baked, pose, 99))  # compile + warm
         t0 = time.perf_counter()
         for i in range(reps):
             float(f(baked, pose, i))
         dt = (time.perf_counter() - t0) / reps - overhead
-        print(f"{name:36s} {dt*1e3:8.1f} ms", flush=True)
+        print(f"{name:40s} {dt*1e3:8.1f} ms", flush=True)
         return dt
 
     frac = measure_occupied_block_fraction(
         bfield, baked, bspec, poses, H=H, W=W, focal=focal,
-        near=near, far=far, block=args.block, n_probe=args.probes)
+        near=near, far=far, block=args.block, n_probe=n_probe)
     print(f"occupied block fraction: {frac:.3f}", flush=True)
     r = BlockFrameRenderer(bfield, bspec, H=H, W=W, focal=focal,
-                           near=near, far=far, k_fine=args.k,
-                           n_probe=args.probes, block=args.block,
+                           near=near, far=far, k_coarse=k1, k_fine=k2,
+                           n_probe=n_probe, block=args.block,
                            capacity_frac=min(1.0, frac + 0.05))
     hb, wb = H // args.block, W // args.block
     nb = hb * wb
     cap = r.capacity
+    bsq = args.block * args.block
     print(f"capacity: {cap} blocks of {nb}", flush=True)
 
     # whole frame (the renderer's own jit)
     float(jnp.sum(r._render_one(baked, pose, sres)[::63, ::63]))
     t0 = time.perf_counter()
-    for i in range(5):
+    for i in range(args.reps):
         img = r._render_one(baked, pose + i * 1e-6, sres)
         float(jnp.sum(img[::63, ::63]))
-    dt = (time.perf_counter() - t0) / 5 - overhead
-    print(f"{'whole frame':36s} {dt*1e3:8.1f} ms", flush=True)
+    dt = (time.perf_counter() - t0) / args.reps - overhead
+    print(f"{'whole frame':40s} {dt*1e3:8.1f} ms", flush=True)
 
     cdirs = _block_center_dirs(H, W, focal, args.block)
-    dbin = (far - near) / args.probes
 
-    def probe_march(bk, p, i):
+    def probe(bk, p, i):
         rot, cam = p[:3, :3], p[:3, 3]
         d = cdirs @ rot.T
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        zc = near + (jnp.arange(args.probes, dtype=jnp.float32) + 0.5) * dbin
-        pts = cam[None, None, :] + d[:, None, :] * zc[None, :, None] + i * 1e-6
+        zc = near + (jnp.arange(n_probe, dtype=jnp.float32) + 0.5) * dbin
+        pts = cam[None, None, :] + d[:, None, :] * zc[None, :, None] \
+            + i * 1e-6
         sig = baked_sigma_tri(bk, pts.reshape(-1, 3), bspec, sres) \
-            .reshape(hb, wb, args.probes)
+            .reshape(hb, wb, n_probe)
         sig = jax.lax.reduce_window(
             sig, -jnp.inf, jax.lax.max, window_dimensions=(3, 3, 1),
             window_strides=(1, 1, 1), padding="SAME")
         return jnp.sum(sig[::7, ::7, ::13])
-    timed("probe march (sigma+pool)", probe_march)
+    timed("probe (block sigma march + pool)", probe)
 
-    def probe_place(bk, p, i):
-        rot, cam = p[:3, :3], p[:3, 3]
-        d = cdirs @ rot.T
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        zc = near + (jnp.arange(args.probes, dtype=jnp.float32) + 0.5) * dbin
-        pts = cam[None, None, :] + d[:, None, :] * zc[None, :, None] + i * 1e-6
-        sig = baked_sigma_tri(bk, pts.reshape(-1, 3), bspec, sres) \
-            .reshape(hb, wb, args.probes)
-        sig = jax.lax.reduce_window(
-            sig, -jnp.inf, jax.lax.max, window_dimensions=(3, 3, 1),
-            window_strides=(1, 1, 1), padding="SAME").reshape(nb, args.probes)
-        occ = sig > 0.01
-        alpha = 1.0 - jnp.exp(-sig * dbin)
-        trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
-        w = jnp.power(jnp.maximum(alpha * trans, 0.0), 0.7)
-        w = w * occ.astype(jnp.float32)
-        w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
-        c = jnp.cumsum(w, axis=1)
-        total = c[:, -1]
-        acc = jnp.float32(0.0)
-        for j in range(args.k):
-            u = (j + 0.5) / args.k * total
-            b = jnp.sum((c < u[:, None]).astype(jnp.int32), axis=1)
-            acc = acc + jnp.sum(b[::101].astype(jnp.float32))
-        return acc
-    timed("probe + full placement CDF", probe_place)
-
-    bsq = args.block * args.block
     ids = jnp.arange(cap, dtype=jnp.int32) % nb
-    z_b = jnp.linspace(near, far, args.k, dtype=jnp.float32)[None, :] \
+    occ_b = jnp.ones((cap, n_probe), bool)
+
+    def coarse(bk, p, i):
+        rot, cam = p[:3, :3], p[:3, 3]
+        d_pix = _pixel_dirs_for_blocks(ids, rot, H, W, focal, args.block)
+        occ_f = occ_b.astype(jnp.float32)
+        n_occ = jnp.sum(occ_f, axis=1)
+        c = jnp.cumsum(occ_f, axis=1)
+        cols = []
+        for j in range(k1):
+            u = (j + 0.5) / k1 * n_occ
+            b = jnp.sum((c < u[:, None]).astype(jnp.int32), axis=1)
+            cols.append(jnp.minimum(b, n_probe - 1))
+        idx_c = jnp.stack(cols, axis=1)
+        z_c = near + (idx_c.astype(jnp.float32) + 0.5) * dbin + i * 1e-6
+        z_cp = jnp.broadcast_to(z_c[:, None, :], (cap, bsq, k1)) \
+            .reshape(cap * bsq, k1)
+        pts = cam[None, None, :] \
+            + d_pix.reshape(-1, 3)[:, None, :] * z_cp[..., None]
+        sig = baked_sigma_tri(bk, pts.reshape(-1, 3), bspec, sres)
+        return jnp.sum(sig[::4097])
+    timed(f"coarse sigma ({cap*bsq*k1/1e6:.0f}M pts)", coarse)
+
+    w_fix = jnp.abs(jnp.sin(jnp.arange(cap * bsq * k1,
+                                       dtype=jnp.float32))) \
+        .reshape(cap * bsq, k1) + 1e-3
+    z_fix = jnp.linspace(near, far, k1)[None, :].repeat(cap * bsq, 0)
+
+    def place(bk, p, i):
+        z_f, dist_f = _resample_from_weights(z_fix + i * 1e-6, w_fix, k2,
+                                             floor=0.0, return_dists=True)
+        return jnp.sum(z_f[::4097]) + jnp.sum(dist_f[::8191]) \
+            + jnp.sum(p) + jnp.float32(bk["qscale"][0])
+    timed(f"fine placement CDF ({k2} of {k1})", place)
+
+    z_b = jnp.linspace(near, far, k2, dtype=jnp.float32)[None, :] \
         .repeat(cap, axis=0)
 
     def fine(bk, p, i):
         rot, cam = p[:3, :3], p[:3, 3]
         d_pix = _pixel_dirs_for_blocks(ids, rot, H, W, focal, args.block)
-        z = jnp.broadcast_to(z_b[:, None, :], (cap, bsq, args.k)) \
-            .reshape(cap * bsq, args.k) + i * 1e-6
+        z = jnp.broadcast_to(z_b[:, None, :], (cap, bsq, k2)) \
+            .reshape(cap * bsq, k2) + i * 1e-6
         pts = cam[None, None, :] + d_pix.reshape(-1, 3)[:, None, :] \
             * z[..., None]
         rgb, sigma = bfield.apply_grouped(
-            bk, pts.reshape(cap * bsq, args.k, 3), d_pix.reshape(-1, 3))
-        rgb = rgb.astype(jnp.float32).reshape(-1, args.k, 3)
-        sigma = sigma.astype(jnp.float32).reshape(-1, args.k)
+            bk, pts.reshape(cap * bsq, k2, 3), d_pix.reshape(-1, 3))
+        rgb = rgb.astype(jnp.float32).reshape(-1, k2, 3)
+        sigma = sigma.astype(jnp.float32).reshape(-1, k2)
         diffs = z[:, 1:] - z[:, :-1]
         dists = jnp.concatenate([diffs, jnp.full_like(diffs[:, :1], dbin)],
                                 axis=1)
         rgb_map, _, _, _ = composite(rgb, sigma, z, d_pix.reshape(-1, 3),
                                      bg_color=jnp.ones(3), dists=dists)
         return jnp.sum(rgb_map[::97])
-    timed("fine pass (rows+MLP+composite)", fine)
+    timed(f"fine pass ({cap*bsq*k2/1e6:.0f}M pts)", fine)
 
-    n_pts = cap * bsq * args.k
+    n_pts = cap * bsq * k2
     rows_idx = jnp.asarray(
         (np.arange(n_pts, dtype=np.uint64) * 2654435761)
         % baked["cells"].shape[0], jnp.int32)

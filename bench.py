@@ -93,7 +93,10 @@ def main():
     n_frames = int(os.environ.get("BENCH_FRAMES", 10))
 
     focal = 0.5 * W / np.tan(0.4)
-    poses = orbit_poses(1 + n_frames, radius=4.0, center=[0, 0, 0],
+    # 2*n_frames poses: the warmup renders the SECOND half so the timed
+    # region compiles nothing (same frame count => same stack/digest
+    # programs) and the tunnel cannot memoize (different poses).
+    poses = orbit_poses(2 * n_frames, radius=4.0, center=[0, 0, 0],
                         height=1.0)
 
     if mode == "block":
@@ -168,11 +171,11 @@ def main():
     # timed run use different poses and the timed region ends with ONE
     # jitted digest materialized to the host.
     digest = jax.jit(lambda f: jnp.sum(f[:, ::63, ::63]))
-    warm = render_frames(poses[:1])
+    warm = render_frames(poses[n_frames:])
     float(digest(warm))
 
     t0 = time.perf_counter()
-    frames = render_frames(poses[1:])
+    frames = render_frames(poses[:n_frames])
     float(digest(frames))
     dt = (time.perf_counter() - t0) / n_frames
     fps = 1.0 / dt

@@ -223,17 +223,19 @@ def bake_instant_field(field, params, spec: BakedSpec, *,
 
 def bake_sigma_cells(dense_h0: jnp.ndarray, spec: BakedSpec,
                      sigma_res: int = 224) -> dict:
-    """Pack a REDUCED-resolution trilerp-able sigma table into 128-lane
-    rows sized for the chip's fast gather zone.
+    """Pack a REDUCED-resolution trilerp-able sigma table into 8-lane
+    cell rows sized for the chip's fast gather zone.
 
     Measured (memory: tpu-v5e-performance-model): row gathers from tables
-    <= ~96 MB run at ~2.16 ns vs ~10.8 ns above ~128 MB, and scalar
-    gathers are ~8 ns everywhere — so the render path's cheap sigma
-    estimate must be (a) row-shaped and (b) small. Layout: one row holds
-    16 consecutive z-cells x 8 corner h0 values = 128 int8 lanes; cell
-    (i,j,k) lives in row (i*nc + j)*ceil(nc/16) + k//16 at lane
-    (k%16)*8 + corner. At sigma_res=224 the table is ~89 MB — inside the
-    fast zone with margin.
+    <= ~96 MB run at ~2.16 ns (even for 8-byte rows) vs ~10.8 ns above
+    ~128 MB, and scalar gathers are ~8 ns everywhere — so the render
+    path's cheap sigma estimate must be (a) row-shaped and (b) small.
+    Layout: one row per CELL holding its 8 corner h0 values; cell
+    (i,j,k) lives in row (i*nc + j)*nc + k. An earlier 128-lane layout
+    (16 z-cells per row) needed a 16-way one-hot lane extract whose
+    materialized [N,16,8] f32 intermediates made the coarse march
+    traffic-bound (~6.4 ns/pt profiled, vs ~2.7 with direct 8-lane
+    rows). At sigma_res=224 the table is ~89 MB — in the fast zone.
 
     `dense_h0` is channel 0 of the QUANTIZED dense bake [r, r, r] int8
     (or raw dtype); it is trilinearly resized to the sigma lattice in the
@@ -241,7 +243,6 @@ def bake_sigma_cells(dense_h0: jnp.ndarray, spec: BakedSpec,
     """
     r_s = sigma_res
     nc = r_s - 1
-    nk16 = -(-nc // 16)
 
     @jax.jit
     def build(vol):
@@ -254,11 +255,8 @@ def bake_sigma_cells(dense_h0: jnp.ndarray, spec: BakedSpec,
                     corners.append(jax.lax.slice(
                         v, (di, dj, dk), (di + nc, dj + nc, dk + nc)))
         g = jnp.stack(corners, axis=-1)                  # [nc, nc, nc, 8]
-        g = jnp.pad(g, ((0, 0), (0, 0), (0, nk16 * 16 - nc), (0, 0)),
-                    constant_values=_MASKED_H0)
-        g = g.reshape(nc, nc, nk16, 128)
         return jnp.clip(jnp.round(g), -127, 127).astype(jnp.int8) \
-            .reshape(nc * nc * nk16, 128)
+            .reshape(nc * nc * nc, _CORNERS)
 
     return {"sigma_cells": build(dense_h0)}
 
@@ -266,10 +264,10 @@ def bake_sigma_cells(dense_h0: jnp.ndarray, spec: BakedSpec,
 def sigma_cells_res(baked: dict) -> int:
     """Recover the sigma-table lattice resolution from its row count."""
     n_rows = baked["sigma_cells"].shape[0]
-    for r_s in range(2, 4097):
-        nc = r_s - 1
-        if nc * nc * (-(-nc // 16)) == n_rows:
-            return r_s
+    nc = round(n_rows ** (1.0 / 3.0))
+    for c in (nc - 1, nc, nc + 1):
+        if c > 0 and c * c * c == n_rows:
+            return c + 1
     raise ValueError(f"sigma_cells row count {n_rows} matches no lattice")
 
 
@@ -277,27 +275,23 @@ def baked_sigma_tri(baked: dict, x: jnp.ndarray, spec: BakedSpec,
                     sigma_res: int) -> jnp.ndarray:
     """Trilinearly interpolated sigma at world points [N, 3] -> [N].
 
-    One fast-zone row gather per point (16-cell row), a 16-way one-hot
-    cell extract (VPU), an 8-corner reduce, then the instant activation
-    sigma = softplus(h0 - 5) (reference: src/decoders.py:136-162).
-    Pruned voxels baked to h0 = -20 return ~1e-11.
+    One fast-zone 8-lane row gather per point, an 8-corner bf16 reduce,
+    then the instant activation sigma = softplus(h0 - 5) (reference:
+    src/decoders.py:136-162). Pruned voxels baked to h0 = -20 return
+    ~1e-11.
     """
     r_s = sigma_res
     nc = r_s - 1
-    nk16 = -(-nc // 16)
     xf = x.astype(jnp.float32)
     x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
     pos = x01 * (r_s - 1.0)
     p0 = jnp.clip(jnp.floor(pos), 0.0, r_s - 2.0)
     frac = pos - p0
     p0 = p0.astype(jnp.int32)
-    row = (p0[:, 0] * nc + p0[:, 1]) * nk16 + p0[:, 2] // 16
-    sub = p0[:, 2] % 16
+    row = (p0[:, 0] * nc + p0[:, 1]) * nc + p0[:, 2]
 
-    rows = jnp.take(baked["sigma_cells"], row, axis=0, mode="clip") \
-        .reshape(-1, 16, _CORNERS).astype(jnp.float32)
-    onehot = (jnp.arange(16, dtype=jnp.int32)[None, :] == sub[:, None])
-    v = jnp.sum(rows * onehot[:, :, None], axis=1)         # [N, 8]
+    v = jnp.take(baked["sigma_cells"], row, axis=0, mode="clip") \
+        .astype(jnp.float32)                               # [N, 8]
     w = _corner_weights(frac)
     h0 = jnp.sum(v * w, axis=1)
     if baked.get("qscale") is not None:
@@ -336,9 +330,16 @@ def baked_h(baked: dict, x: jnp.ndarray, spec: BakedSpec) -> jnp.ndarray:
     row = (p0[:, 0] * nc + p0[:, 1]) * nc + p0[:, 2]
 
     rows = jnp.take(baked["cells"], row, axis=0, mode="clip")
-    v = rows.reshape(-1, _CORNERS, _N_CH).astype(jnp.float32)
-    w = _corner_weights(frac)
-    h = jnp.sum(v * w[:, :, None], axis=1)                 # [N, 16]
+    # Corner reduce in bf16 for int8 tables (every int8 value is exact
+    # in bf16, and dequantization happens after the reduce): the
+    # materialized [N, 8, 16] intermediate is half the HBM traffic the
+    # f32 reduce paid (profiled ~17 ms/3.9M pts over the gather floor).
+    # f32/bf16 tables keep the f32 reduce — a bf16 cast would round them.
+    red = jnp.bfloat16 if rows.dtype == jnp.int8 else jnp.float32
+    v = rows.reshape(-1, _CORNERS, _N_CH).astype(red)
+    w = _corner_weights(frac).astype(red)
+    h = jnp.sum(v * w[:, :, None], axis=1,
+                dtype=jnp.float32)                         # [N, 16]
     if baked.get("qscale") is not None:
         h = h * baked["qscale"][None, :] + baked["qzero"][None, :]
     return h

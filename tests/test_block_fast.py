@@ -49,8 +49,7 @@ def _baked_setup(rng_key, sigma_res=96, density_boost=8.0):
 def test_sigma_cells_res_roundtrip():
     for r_s in (17, 96, 224, 257):
         nc = r_s - 1
-        n_rows = nc * nc * (-(-nc // 16))
-        fake = {"sigma_cells": jnp.zeros((n_rows, 128), jnp.int8)}
+        fake = {"sigma_cells": jnp.zeros((nc * nc * nc, 8), jnp.int8)}
         assert sigma_cells_res(fake) == r_s
 
 
@@ -69,13 +68,13 @@ def test_baked_sigma_tri_matches_resized_volume(rng_key):
     pts = jnp.asarray(lin[idx])
     got = np.asarray(baked_sigma_tri(baked, pts, bspec, r_s))
     # Recover expected from the packed rows directly.
-    nc, nk16 = r_s - 1, -(-(r_s - 1) // 16)
-    cells = np.asarray(baked["sigma_cells"]).reshape(nc * nc * nk16, 16, 8)
+    nc = r_s - 1
+    cells = np.asarray(baked["sigma_cells"])
     for p, g in zip(idx, got):
         ci, cj, ck = np.minimum(p, r_s - 2)
         corner = int(p[0] > ci) * 4 + int(p[1] > cj) * 2 + int(p[2] > ck)
-        row = (ci * nc + cj) * nk16 + ck // 16
-        h0 = float(cells[row, ck % 16, corner])
+        row = (ci * nc + cj) * nc + ck
+        h0 = float(cells[row, corner])
         if baked.get("qscale") is not None:
             h0 = h0 * float(baked["qscale"][0]) + float(baked["qzero"][0])
         exp = float(jax.nn.softplus(h0 - 5.0))

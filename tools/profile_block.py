@@ -92,13 +92,16 @@ def main():
     print(f"dispatch+sync overhead: {overhead*1e3:.1f} ms", flush=True)
 
     def timed(name, fn, reps=None):
+        """Pipelined timing: all reps dispatch back-to-back (the bench's
+        regime — dispatch latency overlaps device compute), ONE sync at
+        the end; the single sync cost is subtracted."""
         reps = reps or args.reps
         f = jax.jit(fn)
         float(f(baked, pose, 99))  # compile + warm
         t0 = time.perf_counter()
-        for i in range(reps):
-            float(f(baked, pose, i))
-        dt = (time.perf_counter() - t0) / reps - overhead
+        outs = [f(baked, pose, i) for i in range(reps)]
+        float(jnp.stack(outs).sum())
+        dt = ((time.perf_counter() - t0) - overhead) / reps
         print(f"{name:40s} {dt*1e3:8.1f} ms", flush=True)
         return dt
 
@@ -116,13 +119,14 @@ def main():
     bsq = args.block * args.block
     print(f"capacity: {cap} blocks of {nb}", flush=True)
 
-    # whole frame (the renderer's own jit)
-    float(jnp.sum(r._render_one(baked, pose, sres)[::63, ::63]))
+    # whole frame (the renderer's own jit), pipelined like the bench
+    dig = jax.jit(lambda im: jnp.sum(im[::63, ::63]))
+    float(dig(r._render_one(baked, pose, sres)))
     t0 = time.perf_counter()
-    for i in range(args.reps):
-        img = r._render_one(baked, pose + i * 1e-6, sres)
-        float(jnp.sum(img[::63, ::63]))
-    dt = (time.perf_counter() - t0) / args.reps - overhead
+    outs = [dig(r._render_one(baked, pose + i * 1e-6, sres))
+            for i in range(args.reps)]
+    float(jnp.stack(outs).sum())
+    dt = ((time.perf_counter() - t0) - overhead) / args.reps
     print(f"{'whole frame':40s} {dt*1e3:8.1f} ms", flush=True)
 
     cdirs = _block_center_dirs(H, W, focal, args.block)
@@ -199,6 +203,38 @@ def main():
                                      bg_color=jnp.ones(3), dists=dists)
         return jnp.sum(rgb_map[::97])
     timed(f"fine pass ({cap*bsq*k2/1e6:.0f}M pts)", fine)
+
+    # --- decompositions ---
+    from nerf_tpu.render.bake import bake_sigma_cells
+    r_bake = bspec.resolution
+    sig192 = bake_sigma_cells(
+        baked["sigma_vol"].reshape(r_bake, r_bake, r_bake), bspec,
+        sigma_res=192)
+    baked192 = dict(baked, sigma_cells=sig192["sigma_cells"])
+
+    def coarse192(bk, p, i):
+        rot, cam = p[:3, :3], p[:3, 3]
+        d_pix = _pixel_dirs_for_blocks(ids, rot, H, W, focal, args.block)
+        z_c = jnp.linspace(near, far, k1)[None, :].repeat(cap, 0) + i * 1e-6
+        z_cp = jnp.broadcast_to(z_c[:, None, :], (cap, bsq, k1)) \
+            .reshape(cap * bsq, k1)
+        pts = cam[None, None, :] \
+            + d_pix.reshape(-1, 3)[:, None, :] * z_cp[..., None]
+        sig = baked_sigma_tri(baked192, pts.reshape(-1, 3), bspec, 192)
+        return jnp.sum(sig[::4097]) + jnp.float32(bk["qscale"][0])
+    timed(f"coarse sigma at sigres=192 (56 MB)", coarse192)
+
+    def fine_rows_only(bk, p, i):
+        rot, cam = p[:3, :3], p[:3, 3]
+        d_pix = _pixel_dirs_for_blocks(ids, rot, H, W, focal, args.block)
+        z = jnp.broadcast_to(z_b[:, None, :], (cap, bsq, k2)) \
+            .reshape(cap * bsq, k2) + i * 1e-6
+        pts = cam[None, None, :] + d_pix.reshape(-1, 3)[:, None, :] \
+            * z[..., None]
+        from nerf_tpu.render.bake import baked_h
+        h = baked_h(bk, pts.reshape(-1, 3), bspec)
+        return jnp.sum(h[::4097])
+    timed("fine rows+trilerp only (no MLP)", fine_rows_only)
 
     n_pts = cap * bsq * k2
     rows_idx = jnp.asarray(

@@ -152,13 +152,17 @@ def test_cli_part4_train_and_orbit_frames(tmp_path, scenes):
              for root, _, fs in os.walk(tmp_path / "out4")
              for f in fs if f.endswith(".pth")]
     assert ckpts
-    # orbit-video branch: frames must be written even without ffmpeg
+    # orbit-video branch: a video must be produced (the built-in MJPEG
+    # muxer runs when ffmpeg is absent and cleans the frame dir up) — or,
+    # if muxing failed, the frames must remain on disk.
     out = _run_cli(["--config", cfg_path, "--data_dir", scenes["dyn"],
                     "--eval_only", "--checkpoint", ckpts[-1],
                     "--render_n", "-1"])
-    frames = [f for root, _, fs in os.walk(tmp_path / "out4")
-              for f in fs if f.startswith("frame_") and f.endswith(".png")]
-    assert frames, "orbit frames missing"
+    outputs = [f for root, _, fs in os.walk(tmp_path / "out4")
+               for f in fs
+               if f.endswith((".mp4", ".avi"))
+               or (f.startswith("frame_") and f.endswith(".png"))]
+    assert outputs, "orbit video (or frames) missing"
 
 
 def test_cli_rejects_bad_mode(tmp_path):

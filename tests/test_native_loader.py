@@ -1,5 +1,6 @@
 """Native C++ dataset loader vs the PIL reference path."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -55,4 +56,7 @@ def test_dataset_loads_with_native_path(tmp_path):
                                         n_val=1, n_test=1, image_size=16)
     ds = BlenderDataset(root, "train")
     assert ds.images.shape == (2, 16, 16, 4)
-    assert float(ds.images.max()) <= 1.0
+    # Device stack is uint8 0-255 (tunnel-bandwidth design, RayData doc);
+    # the host copy keeps the float 0-1 contract.
+    assert ds.images.dtype == jnp.uint8
+    assert float(ds.images_np.max()) <= 1.0

@@ -298,6 +298,8 @@ def run_part2_instant(cfg: dict, args) -> None:
                         else jnp.ones((1, 1, 1), jnp.bool_))
         timer = StepTimer(batch_size)
         trace = TraceCapture(cfg)
+        import time as _time
+        train_t0 = _time.perf_counter()
 
         for step in range(1, train_iters + 1):
             trace.step(step)
@@ -366,7 +368,10 @@ def run_part2_instant(cfg: dict, args) -> None:
                 else:
                     print()
 
-        print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB")
+        wall = _time.perf_counter() - train_t0
+        print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB"
+              f" | training wall-clock {int(wall // 60)}:{wall % 60:04.1f}"
+              f" ({train_iters} steps incl. val/grid updates)")
         trace.close()
         tb_logger.close()
 

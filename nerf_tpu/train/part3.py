@@ -289,6 +289,8 @@ def run_part3(cfg: dict, args) -> None:
                      if warmup_ns and grid_state is not None else step_mask)
 
         print(">>> Start Training Part 3 (Dynamic NeRF)...")
+        import time as _time
+        train_t0 = _time.perf_counter()
         print(f">>> tensorboard --logdir="
               f"{os.path.join(log_dir, 'tensorboard')}")
 
@@ -411,7 +413,10 @@ def run_part3(cfg: dict, args) -> None:
                 else:
                     print()
 
-        print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB")
+        wall = _time.perf_counter() - train_t0
+        print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB"
+              f" | training wall-clock {int(wall // 60)}:{wall % 60:04.1f}"
+              f" ({train_iters} steps incl. val/grid updates)")
         trace.close()
         tb_logger.close()
 

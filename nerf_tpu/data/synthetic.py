@@ -88,6 +88,11 @@ def _lego_proxy_primitives(t: float = 0.0, dynamic: bool = False,
     displacements — dy completes TWO full cycles in t in [0,1], which NO
     3-anchor triangle interpolation can represent (the anchors all see
     dy = 0); kept as the stress variant.
+
+    motion="gentle": ONE object (the striped sphere) translates smoothly,
+    everything else static — the Standup-difficulty class the reference's
+    Part-4 headline is measured on (a single smoothly-moving subject,
+    reference: README.md:14).
     """
     if not dynamic:
         dx = dy = bob = 0.0
@@ -95,6 +100,10 @@ def _lego_proxy_primitives(t: float = 0.0, dynamic: bool = False,
         dx = 0.45 * np.sin(np.pi * t)
         dy = 0.125 * (1.0 - np.cos(np.pi * t))      # monotonic 0 -> 0.25
         bob = 0.18 * np.sin(np.pi * t)
+    elif motion == "gentle":
+        dx = 0.35 * np.sin(np.pi * t)
+        dy = 0.0
+        bob = 0.0
     elif motion == "fast":
         dx = 0.45 * np.sin(2 * np.pi * t)
         dy = 0.25 * np.sin(4 * np.pi * t)

@@ -750,10 +750,14 @@ def render_rays_z(
     """Render rays at explicit ascending sample positions `z` [R, k]
     (importance placement, render/intervals.py::image_importance_cdf).
 
-    Compositing distances are the forward z-differences (the standard
-    estimator for samples drawn from a per-ray pdf); the final sample gets
-    the dense path's 1e10 catch-all when the ray is occupied through the
-    far plane, else one probe-bin width.
+    Compositing distances are the forward z-differences — now KNOWN to be
+    the reason this experimental mode measured 4-6 dB below the uniform
+    occupancy CDF (round 3): at small k, samples clustered by the pdf get
+    near-zero dz and their alpha collapses. The production paths
+    (render_rays_hier sigma branch, render/block_fast.py) use
+    measure-consistent pdf distances instead; porting them here requires
+    image_importance_cdf to also emit its per-sample pdf. Kept
+    experimental behind ImageRenderer(experimental=True).
     """
     if bg_color is None:
         bg_color = jnp.ones((3,), jnp.float32)

@@ -115,13 +115,20 @@ def render_rays(
         # masked integral while k covers the actives; truncates the far
         # tail otherwise). budget_mode="cdf" spreads the k samples over
         # the occupied-bin CDF with measure-preserving dists — the same
-        # estimator the eval paths use; no tail truncation.
+        # estimator the eval paths use; no tail truncation. When
+        # `capacity` is also given, the selected samples are additionally
+        # compacted to that static size before the field evaluation
+        # (rays that miss the scene pad their budget with invalid slots;
+        # in steady state only ~20-25% of the R*k candidates are real,
+        # so skipping the rest cuts the hash gather/scatter-add work —
+        # the dominant per-step cost on v5e — by 2-4x).
         return _render_rays_budget(
             field, params, rays_o, rays_d, near=near, far=far,
             n_samples=n_samples, perturb=perturb, s_rng=s_rng, m_rng=m_rng,
             times=times, grid_binary=grid_binary, grid_spec=grid_spec,
             bg_color=bg_color, train=train, k=ray_budget,
-            max_level=max_level, budget_mode=budget_mode)
+            max_level=max_level, budget_mode=budget_mode,
+            capacity=capacity)
     z_vals = sample_stratified(s_rng, near, far, n_samples, n_rays, perturb)
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
 
@@ -211,7 +218,8 @@ def _select_k_cdf(mask2d: jnp.ndarray, k: int):
 def _render_rays_budget(field, params, rays_o, rays_d, *, near, far,
                         n_samples, perturb, s_rng, m_rng, times,
                         grid_binary, grid_spec, bg_color, train, k,
-                        max_level=None, budget_mode="first"):
+                        max_level=None, budget_mode="first",
+                        capacity=None):
     """Per-ray budgeted rendering (see render_rays docstring)."""
     n_rays = rays_o.shape[0]
     dynamic = field.needs_time
@@ -253,15 +261,38 @@ def _render_rays_budget(field, params, rays_o, rays_d, *, near, far,
         times_flat = jnp.broadcast_to(
             times[:, None, :], (n_rays, k, 1)).reshape(n_pts, 1)
 
-    if dynamic:
-        rgb, sigma, delta = field.apply(params, pts_flat, dirs_flat,
-                                        times_flat, train=train, rng=m_rng,
-                                        max_level=max_level)
-    else:
-        rgb, sigma = field.apply(params, pts_flat, dirs_flat,
-                                 train=train, rng=m_rng,
+    def eval_field(p, dd, tt):
+        if dynamic:
+            return field.apply(params, p, dd, tt, train=train, rng=m_rng,
+                               max_level=max_level)
+        rgb, sigma = field.apply(params, p, dd, train=train, rng=m_rng,
                                  max_level=max_level)
+        return rgb, sigma, None
+
+    if capacity is not None:
+        # Second-stage compaction: only the `valid` budget slots carry
+        # real occupied samples (rays that miss the scene, or have fewer
+        # actives than k, pad with invalid slots whose sigma is zeroed
+        # anyway) — counting-sort them to a static capacity and evaluate
+        # the field on that subset only. Scatter-back restores [R*k]
+        # layout; untouched slots keep sigma=0 / rgb=0, exactly what the
+        # valid mask would have produced.
+        vflat = jnp.broadcast_to(valid, (n_rays, k)).reshape(-1)
+        take, cvalid = _compact_indices(vflat, capacity)
+        rgb_c, sigma_c, delta_c = eval_field(
+            pts_flat[take], dirs_flat[take],
+            times_flat[take] if times_flat is not None else None)
+        vm = cvalid[:, None].astype(jnp.float32)
+        rgb = jnp.zeros((n_pts, 3), jnp.float32).at[take].set(
+            rgb_c.astype(jnp.float32) * vm)
+        sigma = jnp.zeros((n_pts, 1), jnp.float32).at[take].set(
+            sigma_c.astype(jnp.float32) * vm)
         delta = None
+        if delta_c is not None:
+            delta = jnp.zeros((n_pts, 3), jnp.float32).at[take].set(
+                delta_c.astype(jnp.float32) * vm)
+    else:
+        rgb, sigma, delta = eval_field(pts_flat, dirs_flat, times_flat)
 
     rgb = rgb.astype(jnp.float32).reshape(n_rays, k, 3)
     sigma = sigma.astype(jnp.float32).reshape(n_rays, k)

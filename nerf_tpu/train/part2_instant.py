@@ -34,8 +34,8 @@ from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import TensorBoardLogger, get_exp_name
 from ..utils.metrics import compute_psnr
 from ..utils.profiling import StepTimer, TraceCapture
-from .common import (ImageRenderer, composite_target, evaluate_split,
-                     make_video, save_png)
+from .common import (ImageRenderer, budget_compact_capacity,
+                     composite_target, evaluate_split, make_video, save_png)
 from .optimizers import build_optimizer
 
 
@@ -298,7 +298,9 @@ def run_part2_instant(cfg: dict, args) -> None:
 
         step_mask = make_step(None)          # dense / no-grid regime
         train_ray_budget = cfg.get("train_ray_budget")
-        step_compact = (make_step(None, ray_budget=train_ray_budget)
+        step_compact = (make_step(budget_compact_capacity(
+                            cfg, local_batch, train_ray_budget),
+                            ray_budget=train_ray_budget)
                         if train_ray_budget else make_step(train_capacity))
         # Optional cheap warmup: before the density grid activates, train
         # with a coarser stratified sampling (`warmup_n_samples`, e.g. 32

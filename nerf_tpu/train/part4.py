@@ -33,7 +33,8 @@ from ..utils.checkpoint import load_checkpoint, save_checkpoint
 from ..utils.logging import TensorBoardLogger, get_exp_name
 from ..utils.metrics import compute_psnr
 from ..utils.profiling import StepTimer, TraceCapture
-from .common import ImageRenderer, composite_target, evaluate_split
+from .common import (ImageRenderer, budget_compact_capacity,
+                     composite_target, evaluate_split)
 from .optimizers import build_optimizer, current_lr
 from .part2_instant import tv_loss_flat
 from .part3 import _part3_eval
@@ -378,7 +379,10 @@ def run_part4(cfg: dict, args) -> None:
 
         step_mask = make_step(None)
         train_ray_budget = cfg.get("train_ray_budget")
-        step_compact = (make_step(None, ray_budget=train_ray_budget)
+        step_compact = (make_step(budget_compact_capacity(
+                            cfg, batch_size // (mesh_devices or 1),
+                            train_ray_budget),
+                            ray_budget=train_ray_budget)
                         if train_ray_budget else make_step(train_capacity))
         # Cheap pre-grid warmup at coarser sampling (see part2_instant).
         warmup_ns = cfg.get("warmup_n_samples")

@@ -108,6 +108,10 @@ def test_cli_part2_instant_roundtrip_and_video_path(tmp_path, scenes):
     cfg_path, _ = _write_cfg(tmp_path, "part2_instant.yaml", {
         "log_dir": str(tmp_path / "out2i"),
         "scene_bound": 1.5, "train_iters": 40,
+        # engage the budget + compaction regime (the production sparse
+        # path) instead of spending all 40 steps in grid warmup
+        "grid_warmup_iters": 8, "capacity_switch_ratio": 1.5,
+        "batch_size": 512, "n_samples": 32, "train_ray_budget": 8,
     })
     _run_cli(["--config", cfg_path, "--data_dir", scenes["static"]])
     ckpt = None

@@ -88,6 +88,74 @@ def test_budget_dynamic_field(rng_key):
     assert extras["mean_delta_x"].shape == (n, 3)
 
 
+def test_budget_compaction_matches_uncompacted(rng_key):
+    """budget + capacity (second-stage compaction) must reproduce the plain
+    budget path exactly when capacity covers the active count — the field
+    sees the same points, the scatter-back restores the layout."""
+    field = build_field(CFG)
+    params = jax.jit(field.init)(rng_key)
+    spec = DensityGridSpec(resolution=16, bound=1.5, threshold=0.01)
+    binary = jax.random.bernoulli(rng_key, 0.10, (16, 16, 16))
+    n = 32
+    ro = jnp.broadcast_to(jnp.asarray([2.5, 0.0, 0.0]), (n, 3))
+    rd = jax.random.normal(rng_key, (n, 3)) * 0.15 \
+        + jnp.asarray([-1.0, 0.0, 0.0])
+    for mode in ("first", "cdf"):
+        kw = dict(near=0.5, far=4.0, n_samples=32, perturb=True,
+                  rng=rng_key, train=True, grid_binary=binary,
+                  grid_spec=spec, ray_budget=8, budget_mode=mode,
+                  bg_color=jnp.asarray([0.2, 0.3, 0.4]))
+        plain = render_rays(field, params, ro, rd, **kw)
+        compact = render_rays(field, params, ro, rd, capacity=n * 8, **kw)
+        for a, b in zip(plain[:3], compact[:3]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_budget_compaction_grads_match(rng_key):
+    """Hash-table gradients flow identically through the compacted path."""
+    field = build_field(CFG)
+    params = jax.jit(field.init)(rng_key)
+    spec = DensityGridSpec(resolution=16, bound=1.5, threshold=0.01)
+    binary = jax.random.bernoulli(rng_key, 0.10, (16, 16, 16))
+    n = 16
+    ro = jnp.broadcast_to(jnp.asarray([2.5, 0.0, 0.0]), (n, 3))
+    rd = jax.random.normal(rng_key, (n, 3)) * 0.15 \
+        + jnp.asarray([-1.0, 0.0, 0.0])
+
+    def loss(p, cap):
+        rgb, _, _, _ = render_rays(
+            field, p, ro, rd, near=0.5, far=4.0, n_samples=32,
+            perturb=False, grid_binary=binary, grid_spec=spec,
+            ray_budget=8, capacity=cap,
+            bg_color=jnp.asarray([0.2, 0.3, 0.4]))
+        return jnp.mean(rgb ** 2)
+
+    from jax.flatten_util import ravel_pytree
+    g_plain = jax.grad(lambda p: loss(p, None))(params)
+    g_comp = jax.grad(lambda p: loss(p, n * 8))(params)
+    flat_p, _ = ravel_pytree(g_plain)
+    flat_c, _ = ravel_pytree(g_comp)
+    np.testing.assert_allclose(np.asarray(flat_p), np.asarray(flat_c),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_budget_compaction_overflow_keeps_first_actives(rng_key):
+    """With capacity below the active count the dropped samples read as
+    sigma=0 (graceful degradation, never NaN)."""
+    field = build_field(CFG)
+    params = jax.jit(field.init)(rng_key)
+    spec = DensityGridSpec(resolution=16, bound=1.5, threshold=0.01)
+    binary = jnp.ones((16, 16, 16), bool)
+    n = 8
+    ro = jnp.broadcast_to(jnp.asarray([2.5, 0.0, 0.0]), (n, 3))
+    rd = jnp.broadcast_to(jnp.asarray([-1.0, 0.0, 0.0]), (n, 3))
+    out = render_rays(field, params, ro, rd, near=0.5, far=4.0,
+                      n_samples=32, perturb=False, grid_binary=binary,
+                      grid_spec=spec, ray_budget=8, capacity=16)
+    assert bool(jnp.all(jnp.isfinite(out[0])))
+
+
 def test_select_k_cdf_spreads_over_occupied():
     from nerf_tpu.render.renderer import _select_k_cdf
     mask = jnp.asarray([

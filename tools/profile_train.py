@@ -91,21 +91,36 @@ def main():
 
     rng = jax.random.PRNGKey(2)
 
-    def loss_only(p, ro, rd, tg):
-        pred, _, _, _ = render_rays(
-            field, p, ro, rd, rng=rng, near=2.0, far=6.0, n_samples=S,
-            perturb=True, bg_color=jnp.ones(3), train=True,
-            grid_binary=binary, grid_spec=gspec, ray_budget=K,
-            budget_mode=args.budget_mode)
-        return jnp.mean((pred - tg) ** 2)
+    def make_loss(capacity):
+        def loss_only(p, ro, rd, tg):
+            pred, _, _, _ = render_rays(
+                field, p, ro, rd, rng=rng, near=2.0, far=6.0, n_samples=S,
+                perturb=True, bg_color=jnp.ones(3), train=True,
+                grid_binary=binary, grid_spec=gspec, ray_budget=K,
+                budget_mode=args.budget_mode, capacity=capacity)
+            return jnp.mean((pred - tg) ** 2)
+        return loss_only
 
-    timed("forward loss (budget path)", loss_only, rays_o, rays_d, target)
+    def make_fwd_bwd(capacity):
+        loss_only = make_loss(capacity)
 
-    def fwd_bwd(p, ro, rd, tg):
-        l, g = jax.value_and_grad(loss_only)(p, ro, rd, tg)
-        return l + sum(jnp.sum(x[..., :1]) * 0 for x in jax.tree.leaves(g)) \
-            + jnp.sum(jax.tree.leaves(g)[0][:3].astype(jnp.float32)) * 1e-12
-    timed("forward+backward (budget path)", fwd_bwd, rays_o, rays_d, target)
+        def fwd_bwd(p, ro, rd, tg):
+            l, g = jax.value_and_grad(loss_only)(p, ro, rd, tg)
+            return l \
+                + sum(jnp.sum(x[..., :1]) * 0 for x in jax.tree.leaves(g)) \
+                + jnp.sum(jax.tree.leaves(g)[0][:3].astype(jnp.float32)) \
+                * 1e-12
+        return fwd_bwd
+
+    cap = max(4096, int(B * K * 0.5) // 1024 * 1024)
+    timed("forward loss (budget path)", make_loss(None),
+          rays_o, rays_d, target)
+    timed(f"forward loss (budget+compact {cap//1024}k)", make_loss(cap),
+          rays_o, rays_d, target)
+    timed("forward+backward (budget path)", make_fwd_bwd(None),
+          rays_o, rays_d, target)
+    timed(f"forward+backward (budget+compact {cap//1024}k)",
+          make_fwd_bwd(cap), rays_o, rays_d, target)
 
     # Hash encode alone at the step's point count.
     pts = jax.random.uniform(ks[2], (B * K, 3), minval=-1.0, maxval=1.0)
@@ -121,6 +136,8 @@ def main():
         g = jax.grad(f)(p[table_key])
         return jnp.sum(g[:5].astype(jnp.float32))
     timed(f"hash encode fwd+bwd ({B*K/1e6:.1f}M pts)", enc_bwd, pts)
+    pts_c = pts[:cap]
+    timed(f"hash encode fwd+bwd ({cap/1e6:.1f}M pts)", enc_bwd, pts_c)
 
     # Occupancy probe + budget select alone.
     def probe_select(p, ro, rd):

@@ -48,6 +48,30 @@ def _select_k_per_ray(mask2d: jnp.ndarray, k: int):
     return idx.astype(jnp.int32), valid
 
 
+def _eval_compacted(eval_field, pts_flat, dirs_flat, times_flat,
+                    mask: jnp.ndarray, capacity: int):
+    """Evaluate the field on the mask-active points compacted to a static
+    capacity, scattering results back into the dense [N] layout (zeros at
+    inactive/overflow slots — exactly what sigma-masking would produce).
+    eval_field: (pts, dirs, times|None) -> (rgb, sigma, delta|None).
+    """
+    n_pts = pts_flat.shape[0]
+    take, valid = _compact_indices(mask, capacity)
+    rgb_c, sigma_c, delta_c = eval_field(
+        pts_flat[take], dirs_flat[take],
+        times_flat[take] if times_flat is not None else None)
+    vm = valid[:, None].astype(jnp.float32)
+    rgb = jnp.zeros((n_pts, 3), jnp.float32).at[take].set(
+        rgb_c.astype(jnp.float32) * vm)
+    sigma = jnp.zeros((n_pts, 1), jnp.float32).at[take].set(
+        sigma_c.astype(jnp.float32) * vm)
+    delta = None
+    if delta_c is not None:
+        delta = jnp.zeros((n_pts, 3), jnp.float32).at[take].set(
+            delta_c.astype(jnp.float32) * vm)
+    return rgb, sigma, delta
+
+
 def _compact_indices(mask: jnp.ndarray, capacity: int):
     """Counting-sort permutation putting active indices first.
 
@@ -160,19 +184,8 @@ def render_rays(
         return rgb, sigma, None
 
     if mask is not None and capacity is not None:
-        take, valid = _compact_indices(mask, capacity)
-        rgb_c, sigma_c, delta_c = eval_field(
-            pts_flat[take], dirs_flat[take],
-            times_flat[take] if times_flat is not None else None)
-        vm = valid[:, None].astype(jnp.float32)
-        rgb = jnp.zeros((n_pts, 3), jnp.float32).at[take].set(
-            rgb_c.astype(jnp.float32) * vm)
-        sigma = jnp.zeros((n_pts, 1), jnp.float32).at[take].set(
-            sigma_c.astype(jnp.float32) * vm)
-        delta_flat = None
-        if delta_c is not None:
-            delta_flat = jnp.zeros((n_pts, 3), jnp.float32).at[take].set(
-                delta_c.astype(jnp.float32) * vm)
+        rgb, sigma, delta_flat = _eval_compacted(
+            eval_field, pts_flat, dirs_flat, times_flat, mask, capacity)
     else:
         rgb, sigma, delta_flat = eval_field(pts_flat, dirs_flat, times_flat)
         rgb = rgb.astype(jnp.float32)
@@ -274,23 +287,10 @@ def _render_rays_budget(field, params, rays_o, rays_d, *, near, far,
         # real occupied samples (rays that miss the scene, or have fewer
         # actives than k, pad with invalid slots whose sigma is zeroed
         # anyway) — counting-sort them to a static capacity and evaluate
-        # the field on that subset only. Scatter-back restores [R*k]
-        # layout; untouched slots keep sigma=0 / rgb=0, exactly what the
-        # valid mask would have produced.
+        # the field on that subset only.
         vflat = jnp.broadcast_to(valid, (n_rays, k)).reshape(-1)
-        take, cvalid = _compact_indices(vflat, capacity)
-        rgb_c, sigma_c, delta_c = eval_field(
-            pts_flat[take], dirs_flat[take],
-            times_flat[take] if times_flat is not None else None)
-        vm = cvalid[:, None].astype(jnp.float32)
-        rgb = jnp.zeros((n_pts, 3), jnp.float32).at[take].set(
-            rgb_c.astype(jnp.float32) * vm)
-        sigma = jnp.zeros((n_pts, 1), jnp.float32).at[take].set(
-            sigma_c.astype(jnp.float32) * vm)
-        delta = None
-        if delta_c is not None:
-            delta = jnp.zeros((n_pts, 3), jnp.float32).at[take].set(
-                delta_c.astype(jnp.float32) * vm)
+        rgb, sigma, delta = _eval_compacted(
+            eval_field, pts_flat, dirs_flat, times_flat, vflat, capacity)
     else:
         rgb, sigma, delta = eval_field(pts_flat, dirs_flat, times_flat)
 

@@ -155,7 +155,14 @@ def make_grid_updater(field_apply, spec: DensityGridSpec, needs_time: bool,
 
 def should_update(step: int, update_interval: int = 16,
                   warmup_iters: int = 0) -> bool:
-    """Host-side cadence check (reference: src/renderer.py:168-183)."""
+    """Host-side cadence check (reference: src/renderer.py:168-183).
+
+    Note the warmup bound is exclusive: with warmup 256 / interval 128
+    the first update fires at step 256 itself, so the trainers' budgeted
+    step engages from step 257 with a fresh grid — there is no stale-
+    dense window (which would cost ~4x per step here, unlike the
+    reference where an all-active grid just means no skipping).
+    """
     if step < warmup_iters:
         return False
     return step % update_interval == 0

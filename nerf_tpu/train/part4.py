@@ -9,8 +9,9 @@ anchors x16) are `lax.cond`-gated inside ONE jitted train step.
 Reference quirk fixed (SURVEY.md section 7.4): the reference's part-4 grid
 update passes kwargs `DensityGrid.update` does not accept and would crash
 past warmup (reference: run.py:1982-1985); here the intended behavior — an
-occupancy union over the three interpolation anchor times {0, 0.5, 1}
-(reference: src/renderer.py:65-86) — runs as one jitted update.
+occupancy union over the update anchor times {1/6, 1/2, 5/6}
+(reference: run.py:1976) — runs as one jitted update, with
+`grid_update_times: N` opting into a denser linspace union.
 """
 
 from __future__ import annotations
@@ -421,7 +422,18 @@ def run_part4(cfg: dict, args) -> None:
         rng = key
         timer = StepTimer(batch_size)
         trace = TraceCapture(cfg)
-        anchor_times = jnp.asarray([0.0, 0.5, 1.0])
+        # Grid-update times: the reference unions density over
+        # {1/6, 1/2, 5/6} — NOT the tri-grid interpolation anchors
+        # {0, 0.5, 1} (run.py:1976 vs src/core.py:313-315; SURVEY 7.4
+        # says follow the code). Segment-interior times catch the mover
+        # between anchors, where endpoint-only unions leave occupancy
+        # holes that render as noise at intermediate times.
+        # `grid_update_times: N` opts into a denser linspace union for
+        # fast-moving scenes (the reference's own part3 sweeps 16/8
+        # times, run.py:1202-1220).
+        n_ut = cfg.get("grid_update_times")
+        anchor_times = (jnp.linspace(0.0, 1.0, int(n_ut)) if n_ut
+                        else jnp.asarray([1.0 / 6.0, 0.5, 5.0 / 6.0]))
         dummy_binary = (grid_state["binary"] if grid_state is not None
                         else jnp.ones((1, 1, 1), jnp.bool_))
 

@@ -19,11 +19,83 @@ Production configuration measured here:
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 baseline is the reference's 10 FPS on an RTX 4060 Laptop.
+
+Outage-safe: the TPU reaches this VM through a relay daemon that has died
+mid-round before (round 3 lost its headline capture to it). Top-level
+execution therefore runs in WRAPPER mode: wait up to BENCH_WAIT_S (default
+600 s) for a relay port to listen, run the measurement in a subprocess
+(backend-init failures are sticky within a process), retry on transient
+backend errors within the window, and always end with one parseable JSON
+line — {"error": ...} instead of a traceback when the tunnel stays down.
 """
 
 import json
 import os
+import socket
+import subprocess
+import sys
 import time
+
+# Ports served by the TPU tunnel relay (/root/.tpu_init.py); the axon
+# backend dials 127.0.0.1:8082 first.
+_RELAY_PORTS = (8082, 8113)
+
+
+def _relay_up() -> bool:
+    for port in _RELAY_PORTS:
+        s = socket.socket()
+        s.settimeout(1.0)
+        try:
+            s.connect(("127.0.0.1", port))
+            return True
+        except OSError:
+            continue
+        finally:
+            s.close()
+    return False
+
+
+def _fail(msg: str) -> None:
+    print(json.dumps({
+        "metric": "instant_ngp_render_fps_800x800",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+        "error": msg,
+    }))
+    sys.exit(1)
+
+
+def wrapper() -> None:
+    deadline = time.time() + float(os.environ.get("BENCH_WAIT_S", 600))
+    waited = False
+    while not _relay_up():
+        if time.time() > deadline:
+            _fail("TPU tunnel relay down (no listener on "
+                  f"{_RELAY_PORTS}) after BENCH_WAIT_S")
+        waited = True
+        time.sleep(10)
+    if waited:
+        time.sleep(5)  # let the relay finish wiring up
+
+    env = dict(os.environ, BENCH_INNER="1")
+    last_tail = ""
+    while True:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, env=env)
+        out = proc.stdout.strip().splitlines()
+        if proc.returncode == 0 and out:
+            print(out[-1])
+            return
+        last_tail = (proc.stderr or proc.stdout or "")[-2000:]
+        transient = ("UNAVAILABLE" in last_tail
+                     or "Unable to initialize backend" in last_tail
+                     or "DEADLINE_EXCEEDED" in last_tail)
+        if not transient or time.time() > deadline:
+            _fail(f"bench subprocess rc={proc.returncode}: "
+                  + last_tail.replace("\n", " | ")[-600:])
+        time.sleep(20)
 
 
 def main():
@@ -44,7 +116,7 @@ def main():
 
     H = W = int(os.environ.get("BENCH_HW", 800))   # debug override
     ckpt_path = os.environ.get(
-        "BENCH_CKPT", "output/part2_instant/lego_proxy/best_model.pth")
+        "BENCH_CKPT", "output/part2_instant_r3/lego_proxy/best_model.pth")
     ckpt_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ckpt_path) if not os.path.isabs(ckpt_path) \
         else ckpt_path
@@ -190,4 +262,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_INNER"):
+        main()
+    else:
+        wrapper()

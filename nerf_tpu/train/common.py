@@ -31,13 +31,21 @@ def budget_compact_capacity(cfg: dict, local_batch: int,
 
     Of the `local_batch * ray_budget` budget slots only the truly occupied
     samples reach the field (measured ~22% at steady state on the Lego
-    proxy); `budget_capacity_fraction` (default 0.5) bounds the static
-    counting-sort capacity the field actually evaluates. The hash
-    gather + backward scatter-add are the dominant per-step cost on v5e
-    (descriptor-rate-bound), so halving the evaluated points nearly
-    halves the step. Set the fraction to 0 or >= 1 to disable compaction.
+    proxy); `budget_capacity_fraction` bounds the static counting-sort
+    capacity the field actually evaluates. The hash gather + backward
+    scatter-add are the dominant per-step cost on v5e (descriptor-rate-
+    bound), so halving the evaluated points nearly halves the step.
+
+    Compaction is strictly OPT-IN: valid slots beyond the capacity are
+    silently treated as empty space, which biases gradients if a scene's
+    post-skip occupancy ever exceeds the capacity — so an absent config
+    key means no compaction (the ~22% measurement is one static proxy;
+    dynamic scenes union occupancy over time). Set the fraction to 0 or
+    >= 1 to disable explicitly.
     """
-    frac = float(cfg.get("budget_capacity_fraction", 0.5))
+    if "budget_capacity_fraction" not in cfg:
+        return None
+    frac = float(cfg["budget_capacity_fraction"])
     if not (0.0 < frac < 1.0):
         return None
     return max(4096, int(local_batch * ray_budget * frac) // 1024 * 1024)

@@ -464,7 +464,13 @@ def run_part2_instant(cfg: dict, args) -> None:
                     field, params, test_set, renderer, grid_binary=binary,
                     bg_color=fixed_bg, save_dir=picture_dir,
                     name_fn=lambda i, p, t: f"frame_{i:03d}.png")
-            print(f">>> avg PSNR: {avg_psnr:.2f} dB")
+                print(f">>> avg PSNR: {avg_psnr:.2f} dB")
+            else:
+                # The block path renders through the int8-baked field on
+                # block-aligned crops — ~1 dB from the dense masked test
+                # metric; label it so the two are not compared as equals.
+                print(f">>> avg video-path PSNR (baked block renderer, "
+                      f"block-aligned crop): {avg_psnr:.2f} dB")
             video_path = os.path.join(
                 log_dir, f"{os.path.basename(args.data_dir)}_24fps.mp4")
             make_video(picture_dir, video_path)

@@ -72,10 +72,14 @@ def write_mjpeg_avi(frame_paths: List[str], out_path: str,
         max_bytes,                   # dwSuggestedBufferSize
         w, h, 0, 0, 0, 0)
 
-    # 56-byte stream header (strh) for a video stream.
+    # 56-byte stream header (strh) for a video stream: fccType/fccHandler
+    # then dwFlags, wPriority, wLanguage, dwInitialFrames, dwScale, dwRate
+    # (frame time = scale/rate = 1/framerate), dwStart, dwLength,
+    # dwSuggestedBufferSize, dwQuality (-1 = default), dwSampleSize (0 =
+    # variable-size samples, required for VBR video), rcFrame as 4 int16.
     strh = (b"vids" + b"MJPG"
-            + struct.pack("<10I2H2I", 0, 0, 0, 0, 1, framerate, 0, n,
-                          max_bytes, 0xFFFFFFFF, 0, 0, w, h))
+            + struct.pack("<I2H8I4h", 0, 0, 0, 0, 1, framerate, 0, n,
+                          max_bytes, 0xFFFFFFFF, 0, 0, 0, w, h))
     # BITMAPINFOHEADER (strf).
     strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D,
                        w * h * 3, 0, 0, 0, 0)

@@ -33,3 +33,19 @@ def test_mjpeg_avi_structure(tmp_path):
         i += 8 + sz + (sz % 2)
         n += 1
     assert n == 5
+
+    # strh must be the exact 56-byte AVISTREAMHEADER: demuxers read
+    # dwScale/dwRate for timestamps and treat nonzero dwSampleSize as
+    # fixed-sample-size (broken duration), so assert the layout.
+    j = data.find(b"strh")
+    strh_len = struct.unpack("<I", data[j + 4:j + 8])[0]
+    assert strh_len == 56
+    body = data[j + 8:j + 8 + strh_len]
+    assert body[:4] == b"vids" and body[4:8] == b"MJPG"
+    (flags, prio, lang, init_frames, scale, rate, start, length,
+     bufsize, quality, sample_size) = struct.unpack("<I2H8I", body[8:48])
+    left, top, right, bottom = struct.unpack("<4h", body[48:56])
+    assert (scale, rate) == (1, 24)
+    assert start == 0 and length == 5
+    assert sample_size == 0
+    assert (left, top, right, bottom) == (0, 0, 48, 32)

@@ -1,0 +1,142 @@
+#!/bin/bash
+# Serial TPU chip-work queue with tunnel-outage recovery.
+#
+# The TPU reaches this VM through a relay daemon that has died mid-round
+# before (round 3 lost its headline bench capture and the whole at-scale
+# backlog to it, and the queue that would have recovered lived in /tmp,
+# which this environment wipes). This committed version:
+#   * waits for a relay port (127.0.0.1:8082/8113) before every job,
+#   * runs the at-scale backlog serially (one TPU process at a time),
+#   * is idempotent: a job whose output/queue_logs/<name>.done marker
+#     exists is skipped, so the queue can be re-launched any time,
+#   * retries a job when its failure looks like a tunnel outage; marks
+#     .fail and moves on otherwise.
+#
+# Usage: nohup bash tools/chip_queue.sh > output/queue_logs/queue.log 2>&1 &
+set -u
+cd "$(dirname "$0")/.."
+QL=output/queue_logs
+mkdir -p "$QL"
+
+relay_up() {
+  python3 - <<'EOF'
+import socket, sys
+for p in (8082, 8113):
+    s = socket.socket(); s.settimeout(1.0)
+    try:
+        s.connect(("127.0.0.1", p)); sys.exit(0)
+    except OSError:
+        pass
+    finally:
+        s.close()
+sys.exit(1)
+EOF
+}
+
+wait_relay() {
+  while ! relay_up; do
+    echo "[queue] $(date -u +%H:%M:%S) relay down; waiting..."
+    sleep 20
+  done
+}
+
+scene() {  # ensure a proxy scene exists (CPU, idempotent)
+  [ -f "data_scenes/$1/.complete" ] || python tools/make_scenes.py "$1"
+}
+
+# job NAME TIMEOUT_S CMD...
+job() {
+  local name=$1 tmo=$2; shift 2
+  [ -e "$QL/$name.done" ] && { echo "[queue] $name: done, skip"; return 0; }
+  [ -e "$QL/$name.fail" ] && { echo "[queue] $name: failed earlier, skip"; return 1; }
+  local tries=0
+  while : ; do
+    wait_relay
+    echo "[queue] $(date -u +%H:%M:%S) START $name: $*"
+    local t0=$SECONDS
+    timeout "$tmo" "$@" > "$QL/$name.log" 2>&1
+    local rc=$?
+    echo "[queue] $(date -u +%H:%M:%S) END $name rc=$rc (${t0:+$((SECONDS-t0))}s)"
+    if [ $rc -eq 0 ]; then
+      touch "$QL/$name.done"; return 0
+    fi
+    if grep -qE "Unable to initialize backend|UNAVAILABLE|DEADLINE_EXCEEDED" \
+        "$QL/$name.log" && [ $((tries+=1)) -le 4 ]; then
+      echo "[queue] $name: tunnel-class failure, retry $tries/4"
+      sleep 30
+      continue
+    fi
+    tail -5 "$QL/$name.log"
+    touch "$QL/$name.fail"; return 1
+  done
+}
+
+CKPT=output/part2_instant_r3/lego_proxy/best_model.pth
+
+# ---- P0: the graded render number -------------------------------------
+scene lego_proxy
+job bench_base    2700 python bench.py
+job bench_k24_8   2700 env BENCH_K1=24 BENCH_K2=8  python bench.py
+job bench_k28_8   2700 env BENCH_K1=28 BENCH_K2=8  python bench.py
+job bench_k24_12  2700 env BENCH_K1=24 BENCH_K2=12 python bench.py
+# quality at the sweep points (same trained artifact as the FPS numbers)
+job quality_block 5400 python tools/quality_ab.py --ckpt "$CKPT" \
+  --data_dir data_scenes/lego_proxy --only block --n_images 8 \
+  --out "$QL/ab_block_r4.md"
+
+# ---- P1: Instant 5-min gate (compaction + warm compile cache) ---------
+job p2i_gate1 2400 python run.py --config configs/r4/p2i_gate.yaml \
+  --data_dir data_scenes/lego_proxy
+# second run on the warm compile cache is the honest gate measurement
+job p2i_gate2 2400 python run.py --config configs/r4/p2i_gate.yaml \
+  --data_dir data_scenes/lego_proxy
+# compaction quality-fallback rule (ROADMAP P1): >0.3 dB below the
+# 26.18 dense baseline -> re-measure with compaction off.
+if [ -e "$QL/p2i_gate2.done" ] && [ ! -e "$QL/p2i_gate_nc.done" ]; then
+  psnr=$(grep -oE "Instant-NeRF test PSNR: [0-9.]+" "$QL/p2i_gate2.log" \
+         | grep -oE "[0-9.]+$" | tail -1)
+  if python3 -c "import sys; sys.exit(0 if float('${psnr:-0}') < 25.88 else 1)"; then
+    echo "[queue] gate PSNR ${psnr:-none} < 25.88: compaction fallback run"
+    job p2i_gate_nc 2400 python run.py \
+      --config configs/r4/p2i_gate_nocompact.yaml \
+      --data_dir data_scenes/lego_proxy
+  else
+    echo "[queue] gate PSNR $psnr holds the baseline; no fallback needed"
+    touch "$QL/p2i_gate_nc.done"
+  fi
+fi
+
+# ---- P2: part 4 at scale (anchor-times fix landed r3) ------------------
+scene dyn_proxy
+job part4_scale 7200 python run.py --config configs/r4/part4_scale.yaml \
+  --data_dir data_scenes/dyn_proxy
+
+# ---- P3: part 3 flagship (instant, 20k) --------------------------------
+job p3i_scale 10800 python run.py --config configs/r4/p3i_scale.yaml \
+  --data_dir data_scenes/dyn_proxy
+
+# ---- P4: part 2 vanilla golden number ----------------------------------
+job p2_20k 3600 python run.py --config configs/r4/p2_20k.yaml \
+  --data_dir data_scenes/lego_proxy
+
+# ---- P5: part 4 second scene + part 3 standard/DTC ---------------------
+scene dyn_gentle
+job part4_gentle 7200 python run.py --config configs/r4/part4_gentle.yaml \
+  --data_dir data_scenes/dyn_gentle
+job part3_std 7200 python run.py --config configs/r4/part3_scale.yaml \
+  --data_dir data_scenes/dyn_proxy
+job part3_dtc 7200 python run.py --config configs/r4/part3_dtc_scale.yaml \
+  --data_dir data_scenes/dyn_proxy
+
+# ---- P6: part 1 photo-scale fit ----------------------------------------
+job part1_photo 2400 python run.py --config configs/r4/part1_photo.yaml \
+  --image data_scenes/lego_proxy/test/r_0.png
+
+# ---- P7: exact-vs-brick hash layout A/B (2k each, same seed/scene) ------
+job ab_brick 2400 python run.py --config configs/r4/p2i_brick.yaml \
+  --data_dir data_scenes/lego_proxy
+job ab_exact 3600 python run.py --config configs/r4/p2i_exact.yaml \
+  --data_dir data_scenes/lego_proxy
+
+echo "[queue] $(date -u +%H:%M:%S) queue complete"
+ls "$QL"

@@ -72,7 +72,7 @@ def run_part2(cfg: dict, args) -> None:
     if not args.eval_only:
         tb_dir = os.path.join(log_dir, "tensorboard")
         tb_logger = TensorBoardLogger(tb_dir)
-        print(f">>> tensorboard --logdir={tb_dir}")
+        print(tb_logger.banner())
 
         tx = optax.adam(learning_rate)
         opt_state = tx.init(params)

@@ -318,7 +318,7 @@ def run_part2_instant(cfg: dict, args) -> None:
             print(f">>> TV loss enabled (weight={tv_loss_weight:.0e})")
         if use_random_bg:
             print(f">>> random background from step {random_bg_start}")
-        print(f">>> tensorboard --logdir={os.path.join(log_dir, 'tensorboard')}")
+        print(tb_logger.banner())
 
         # Validation renders use the occupancy-CDF sampler when a grid
         # exists: the dense masked path at the reference's chunk (200k rays

@@ -293,8 +293,7 @@ def run_part3(cfg: dict, args) -> None:
         print(">>> Start Training Part 3 (Dynamic NeRF)...")
         import time as _time
         train_t0 = _time.perf_counter()
-        print(f">>> tensorboard --logdir="
-              f"{os.path.join(log_dir, 'tensorboard')}")
+        print(tb_logger.banner())
 
         # Occupancy-CDF validation renders when a grid exists (see
         # _part3_eval); dense masked otherwise. val_n_samples defaults to

@@ -393,8 +393,7 @@ def run_part4(cfg: dict, args) -> None:
         print(">>> Start Training Part 4 (Dual-Hash Dynamic NeRF)...")
         import time as _time
         train_t0 = _time.perf_counter()
-        print(f">>> tensorboard --logdir="
-              f"{os.path.join(log_dir, 'tensorboard')}")
+        print(tb_logger.banner())
 
         # Validation renders go through the occupancy-CDF sampler when a
         # grid exists (same as eval): dense 128-sample rendering of the val

@@ -255,7 +255,8 @@ def main():
         Ht = test_set.H - test_set.H % 8
         Wt = test_set.W - test_set.W % 8
         test_poses = [np.asarray(test_set.poses[i]) for i in idxs]
-        for k1, k2 in ((32, 8), (32, 12), (32, 16), (24, 12)):
+        for k1, k2 in ((24, 8), (28, 8), (32, 8), (32, 12), (32, 16),
+                       (24, 12)):
             name = f"block {res}^3, k={k1}+{k2}"
             if args.only and args.only not in name:
                 continue

@@ -198,8 +198,10 @@ def main():
             temper=float(os.environ.get("BENCH_TEMPER", 0.7)),
             w_floor=float(os.environ.get("BENCH_FLOOR", 0.15)))
 
+        single = os.environ.get("BENCH_SINGLE_DISPATCH", "0") == "1"
+
         def render_frames(ps):
-            return block_renderer(baked, ps)
+            return block_renderer(baked, ps, single_dispatch=single)
     else:
         if mode == "baked":
             bake_res = int(os.environ.get("BENCH_BAKE_RES", 256))

@@ -256,15 +256,31 @@ class BlockFrameRenderer:
             return img
 
         self._render_one = jax.jit(one_frame, static_argnames=("sres",))
+
+        def many_frames(baked, poses, sres):
+            return jax.lax.map(lambda p: one_frame(baked, p, sres), poses)
+
+        self._render_many = jax.jit(many_frames,
+                                    static_argnames=("sres",))
         self._sres_cache = None
 
-    def __call__(self, baked: dict, poses) -> jnp.ndarray:
-        """Render poses [F, 4, 4] -> [F, H, W, 3]."""
+    def __call__(self, baked: dict, poses,
+                 single_dispatch: bool = False) -> jnp.ndarray:
+        """Render poses [F, 4, 4] -> [F, H, W, 3].
+
+        Per-frame dispatches pipeline on the device (only syncs
+        serialize), so the python loop is the default. `single_dispatch`
+        folds all frames into ONE program via lax.map — for links where
+        per-dispatch host latency (~50-100 ms here) stops hiding behind
+        the ~100 ms/frame device time.
+        """
         if self._sres_cache is None:
             self._sres_cache = sigma_cells_res(baked)
         poses = jnp.asarray(poses, jnp.float32)
         if poses.ndim == 2:
             poses = poses[None]
+        if single_dispatch:
+            return self._render_many(baked, poses, self._sres_cache)
         return jnp.stack([
             self._render_one(baked, poses[i], self._sres_cache)
             for i in range(poses.shape[0])])

@@ -150,3 +150,17 @@ def test_block_capacity_compaction_matches_full(rng_key):
     a = np.asarray(fr_full.render_pose(baked, pose))
     b = np.asarray(fr_cap.render_pose(baked, pose))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_block_renderer_single_dispatch_equals_loop(rng_key):
+    """lax.map frames-batched path == per-frame dispatch loop."""
+    _, _, _, _, bspec, baked, bfield = _baked_setup(rng_key)
+    H = W = 24
+    focal = 0.5 * W / np.tan(0.4)
+    fr = BlockFrameRenderer(bfield, bspec, H=H, W=W, focal=focal,
+                            near=0.5, far=4.5, k_fine=8, n_probe=32,
+                            block=8, chunk_blocks=4)
+    poses = orbit_poses(3, radius=2.5, center=[0, 0, 0], height=0.3)
+    loop = np.asarray(fr(baked, poses))
+    single = np.asarray(fr(baked, poses, single_dispatch=True))
+    np.testing.assert_allclose(single, loop, rtol=1e-5, atol=1e-5)

@@ -79,6 +79,7 @@ job bench_base    2700 python bench.py
 job bench_k24_8   2700 env BENCH_K1=24 BENCH_K2=8  python bench.py
 job bench_k28_8   2700 env BENCH_K1=28 BENCH_K2=8  python bench.py
 job bench_k24_12  2700 env BENCH_K1=24 BENCH_K2=12 python bench.py
+job bench_1disp   2700 env BENCH_SINGLE_DISPATCH=1 python bench.py
 # quality at the sweep points (same trained artifact as the FPS numbers)
 job quality_block 5400 python tools/quality_ab.py --ckpt "$CKPT" \
   --data_dir data_scenes/lego_proxy --only block --n_images 8 \

@@ -262,6 +262,8 @@ class BlockFrameRenderer:
 
         self._render_many = jax.jit(many_frames,
                                     static_argnames=("sres",))
+        self._one_frame_fn = one_frame
+        self._sharded_cache = {}
         self._sres_cache = None
 
     def __call__(self, baked: dict, poses,
@@ -288,6 +290,46 @@ class BlockFrameRenderer:
     def render_pose(self, baked: dict, pose) -> jnp.ndarray:
         """Render one pose -> [H, W, 3]."""
         return self(baked, jnp.asarray(pose)[None])[0]
+
+    def render_sharded(self, baked: dict, poses, mesh,
+                       axis: str = "data") -> jnp.ndarray:
+        """Render poses [F, 4, 4] frame-parallel over a device mesh.
+
+        Frames are embarrassingly parallel, so the scaling story is pure
+        data parallelism over the pose axis: baked tables replicated,
+        each device lax.map-renders its F/n_dev local frames, zero
+        collectives (the reference renders video strictly serially on
+        one GPU — run.py:736-813 / 2121-2160). F is padded to a multiple
+        of the mesh size with the last pose and sliced back.
+        """
+        from jax.sharding import PartitionSpec as P
+
+        if self._sres_cache is None:
+            self._sres_cache = sigma_cells_res(baked)
+        sres = self._sres_cache
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        key = (id(mesh), axis, sres)
+        if key not in self._sharded_cache:
+            one_frame = self._one_frame_fn
+
+            def local_frames(baked, poses):          # [f_local, 4, 4]
+                return jax.lax.map(
+                    lambda p: one_frame(baked, p, sres), poses)
+
+            fn = jax.shard_map(
+                local_frames, mesh=mesh,
+                in_specs=(P(), P(axis)), out_specs=P(axis))
+            self._sharded_cache[key] = jax.jit(fn)
+
+        poses = jnp.asarray(poses, jnp.float32)
+        if poses.ndim == 2:
+            poses = poses[None]
+        f = poses.shape[0]
+        pad = (-f) % n_dev
+        if pad:
+            poses = jnp.concatenate(
+                [poses, jnp.broadcast_to(poses[-1:], (pad, 4, 4))])
+        return self._sharded_cache[key](baked, poses)[:f]
 
 
 def measure_occupied_block_fraction(bfield, baked, spec: BakedSpec, poses,

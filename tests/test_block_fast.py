@@ -152,6 +152,25 @@ def test_block_capacity_compaction_matches_full(rng_key):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_block_renderer_sharded_equals_loop(rng_key):
+    """Frame-parallel shard_map render == per-frame dispatch loop,
+    including the pad-to-mesh-multiple path (5 frames on 4 devices)."""
+    from nerf_tpu.parallel.mesh import make_mesh
+
+    _, _, _, _, bspec, baked, bfield = _baked_setup(rng_key)
+    H = W = 24
+    focal = 0.5 * W / np.tan(0.4)
+    fr = BlockFrameRenderer(bfield, bspec, H=H, W=W, focal=focal,
+                            near=0.5, far=4.5, k_fine=8, n_probe=32,
+                            block=8, chunk_blocks=4)
+    poses = orbit_poses(5, radius=2.5, center=[0, 0, 0], height=0.3)
+    mesh = make_mesh(4)
+    loop = np.asarray(fr(baked, poses))
+    sharded = np.asarray(fr.render_sharded(baked, poses, mesh))
+    assert sharded.shape == loop.shape
+    np.testing.assert_allclose(sharded, loop, rtol=1e-5, atol=1e-5)
+
+
 def test_block_renderer_single_dispatch_equals_loop(rng_key):
     """lax.map frames-batched path == per-frame dispatch loop."""
     _, _, _, _, bspec, baked, bfield = _baked_setup(rng_key)

@@ -84,6 +84,10 @@ job bench_1disp   2700 env BENCH_SINGLE_DISPATCH=1 python bench.py
 job quality_block 5400 python tools/quality_ab.py --ckpt "$CKPT" \
   --data_dir data_scenes/lego_proxy --only block --n_images 8 \
   --out "$QL/ab_block_r4.md"
+# stage profiles: the data for the fine-pass-tail attack (ROADMAP P0)
+job profile_block     1800 python -u tools/profile_block.py
+job profile_block_k24 1800 python -u tools/profile_block.py --k1 24 --k2 8
+job profile_train     1800 python -u tools/profile_train.py
 
 # ---- P1: Instant 5-min gate (compaction + warm compile cache) ---------
 job p2i_gate1 2400 python run.py --config configs/r4/p2i_gate.yaml \
@@ -140,4 +144,5 @@ job ab_exact 3600 python run.py --config configs/r4/p2i_exact.yaml \
   --data_dir data_scenes/lego_proxy
 
 echo "[queue] $(date -u +%H:%M:%S) queue complete"
+python tools/collect_results.py || true
 ls "$QL"

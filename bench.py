@@ -66,6 +66,14 @@ def _fail(msg: str) -> None:
     sys.exit(1)
 
 
+# While this file exists (and is fresh), tools/chip_queue.sh SIGSTOPs its
+# running chip job so a driver-invoked bench measures an uncontended chip.
+# The queue treats markers older than 30 min as stale (crash protection).
+_PRIORITY_MARKER = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "output", "queue_logs", "BENCH_PRIORITY")
+
+
 def wrapper() -> None:
     deadline = time.time() + float(os.environ.get("BENCH_WAIT_S", 600))
     waited = False
@@ -78,24 +86,45 @@ def wrapper() -> None:
     if waited:
         time.sleep(5)  # let the relay finish wiring up
 
+    # Claim chip priority over the background queue, unless this bench IS
+    # a queue job (the queue sets BENCH_FROM_QUEUE so it never waits on
+    # its own marker).
+    claimed = False
+    if not os.environ.get("BENCH_FROM_QUEUE"):
+        try:
+            os.makedirs(os.path.dirname(_PRIORITY_MARKER), exist_ok=True)
+            with open(_PRIORITY_MARKER, "w") as f:
+                f.write(str(os.getpid()))
+            claimed = True
+            time.sleep(35)  # one queue poll interval: let it pause + drain
+        except OSError:
+            pass
+
     env = dict(os.environ, BENCH_INNER="1")
     last_tail = ""
-    while True:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, text=True, env=env)
-        out = proc.stdout.strip().splitlines()
-        if proc.returncode == 0 and out:
-            print(out[-1])
-            return
-        last_tail = (proc.stderr or proc.stdout or "")[-2000:]
-        transient = ("UNAVAILABLE" in last_tail
-                     or "Unable to initialize backend" in last_tail
-                     or "DEADLINE_EXCEEDED" in last_tail)
-        if not transient or time.time() > deadline:
-            _fail(f"bench subprocess rc={proc.returncode}: "
-                  + last_tail.replace("\n", " | ")[-600:])
-        time.sleep(20)
+    try:
+        while True:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env)
+            out = proc.stdout.strip().splitlines()
+            if proc.returncode == 0 and out:
+                print(out[-1])
+                return
+            last_tail = (proc.stderr or proc.stdout or "")[-2000:]
+            transient = ("UNAVAILABLE" in last_tail
+                         or "Unable to initialize backend" in last_tail
+                         or "DEADLINE_EXCEEDED" in last_tail)
+            if not transient or time.time() > deadline:
+                _fail(f"bench subprocess rc={proc.returncode}: "
+                      + last_tail.replace("\n", " | ")[-600:])
+            time.sleep(20)
+    finally:
+        if claimed:
+            try:
+                os.remove(_PRIORITY_MARKER)
+            except OSError:
+                pass
 
 
 def main():

@@ -40,6 +40,16 @@ wait_relay() {
   done
 }
 
+# A driver-invoked bench.py writes $QL/BENCH_PRIORITY while it measures;
+# the queue must not touch the chip then. Markers >30 min old are stale
+# (a crashed bench must not stall the queue forever).
+bench_priority() {
+  [ -f "$QL/BENCH_PRIORITY" ] || return 1
+  local age=$(( $(date +%s) - $(stat -c %Y "$QL/BENCH_PRIORITY") ))
+  [ "$age" -le 1800 ] && return 0
+  return 1
+}
+
 scene() {  # ensure a proxy scene exists (CPU, idempotent)
   [ -f "data_scenes/$1/.complete" ] || python tools/make_scenes.py "$1"
 }
@@ -52,9 +62,29 @@ job() {
   local tries=0
   while : ; do
     wait_relay
+    while bench_priority; do
+      echo "[queue] $(date -u +%H:%M:%S) driver bench has priority; waiting"
+      sleep 15
+    done
     echo "[queue] $(date -u +%H:%M:%S) START $name: $*"
     local t0=$SECONDS
-    timeout "$tmo" "$@" > "$QL/$name.log" 2>&1
+    timeout "$tmo" "$@" > "$QL/$name.log" 2>&1 &
+    local jpid=$! stopped=0
+    while kill -0 "$jpid" 2>/dev/null; do
+      if bench_priority; then
+        if [ "$stopped" -eq 0 ]; then
+          echo "[queue] $(date -u +%H:%M:%S) pausing $name for driver bench"
+          pkill -STOP -P "$jpid" 2>/dev/null; kill -STOP "$jpid" 2>/dev/null
+          stopped=1
+        fi
+      elif [ "$stopped" -eq 1 ]; then
+        echo "[queue] $(date -u +%H:%M:%S) resuming $name"
+        kill -CONT "$jpid" 2>/dev/null; pkill -CONT -P "$jpid" 2>/dev/null
+        stopped=0
+      fi
+      sleep 15
+    done
+    wait "$jpid"
     local rc=$?
     echo "[queue] $(date -u +%H:%M:%S) END $name rc=$rc (${t0:+$((SECONDS-t0))}s)"
     if [ $rc -eq 0 ]; then
@@ -75,11 +105,11 @@ CKPT=output/part2_instant_r3/lego_proxy/best_model.pth
 
 # ---- P0: the graded render number -------------------------------------
 scene lego_proxy
-job bench_base    2700 python bench.py
-job bench_k24_8   2700 env BENCH_K1=24 BENCH_K2=8  python bench.py
-job bench_k28_8   2700 env BENCH_K1=28 BENCH_K2=8  python bench.py
-job bench_k24_12  2700 env BENCH_K1=24 BENCH_K2=12 python bench.py
-job bench_1disp   2700 env BENCH_SINGLE_DISPATCH=1 python bench.py
+job bench_base    2700 env BENCH_FROM_QUEUE=1 python bench.py
+job bench_k24_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=8  python bench.py
+job bench_k28_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=28 BENCH_K2=8  python bench.py
+job bench_k24_12  2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=12 python bench.py
+job bench_1disp   2700 env BENCH_FROM_QUEUE=1 BENCH_SINGLE_DISPATCH=1 python bench.py
 # quality at the sweep points (same trained artifact as the FPS numbers)
 job quality_block 5400 python tools/quality_ab.py --ckpt "$CKPT" \
   --data_dir data_scenes/lego_proxy --only block --n_images 8 \

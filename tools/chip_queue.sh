@@ -54,6 +54,23 @@ scene() {  # ensure a proxy scene exists (CPU, idempotent)
   [ -f "data_scenes/$1/.complete" ] || python tools/make_scenes.py "$1"
 }
 
+# After every job, fold its log into RESULTS_r4.md and commit the
+# evidence tree so a mid-queue outage (or round end) cannot erase
+# captured results again. Retries around a concurrent interactive
+# commit holding index.lock.
+commit_evidence() {
+  local name=$1 rc=$2
+  python tools/collect_results.py || true
+  for _ in 1 2 3; do
+    git add -A output/ AB_RESULTS.md 2>/dev/null \
+      && git commit -q -m "chip queue: $name rc=$rc (auto-collected evidence)" \
+      && return 0
+    sleep 5
+  done
+  echo "[queue] WARNING: evidence commit failed for $name"
+  return 0
+}
+
 # job NAME TIMEOUT_S CMD...
 job() {
   local name=$1 tmo=$2; shift 2
@@ -88,7 +105,7 @@ job() {
     local rc=$?
     echo "[queue] $(date -u +%H:%M:%S) END $name rc=$rc (${t0:+$((SECONDS-t0))}s)"
     if [ $rc -eq 0 ]; then
-      touch "$QL/$name.done"; return 0
+      touch "$QL/$name.done"; commit_evidence "$name" 0; return 0
     fi
     if grep -qE "Unable to initialize backend|UNAVAILABLE|DEADLINE_EXCEEDED" \
         "$QL/$name.log" && [ $((tries+=1)) -le 4 ]; then
@@ -97,7 +114,7 @@ job() {
       continue
     fi
     tail -5 "$QL/$name.log"
-    touch "$QL/$name.fail"; return 1
+    touch "$QL/$name.fail"; commit_evidence "$name" "$rc"; return 1
   done
 }
 

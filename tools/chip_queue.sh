@@ -120,21 +120,14 @@ job() {
 
 CKPT=output/part2_instant_r3/lego_proxy/best_model.pth
 
-# ---- P0: the graded render number -------------------------------------
+# Ordered so the top VERDICT items land first if the relay returns late:
+# headline bench + key sweep point, then the two training gates, then
+# part4 at scale, then quality/profiles, then the long tail.
+
+# ---- P0: the graded render number (headline + key sweep point) ---------
 scene lego_proxy
 job bench_base    2700 env BENCH_FROM_QUEUE=1 python bench.py
 job bench_k24_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=8  python bench.py
-job bench_k28_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=28 BENCH_K2=8  python bench.py
-job bench_k24_12  2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=12 python bench.py
-job bench_1disp   2700 env BENCH_FROM_QUEUE=1 BENCH_SINGLE_DISPATCH=1 python bench.py
-# quality at the sweep points (same trained artifact as the FPS numbers)
-job quality_block 5400 python tools/quality_ab.py --ckpt "$CKPT" \
-  --data_dir data_scenes/lego_proxy --only block --n_images 8 \
-  --out "$QL/ab_block_r4.md"
-# stage profiles: the data for the fine-pass-tail attack (ROADMAP P0)
-job profile_block     1800 python -u tools/profile_block.py
-job profile_block_k24 1800 python -u tools/profile_block.py --k1 24 --k2 8
-job profile_train     1800 python -u tools/profile_train.py
 
 # ---- P1: Instant 5-min gate (compaction + warm compile cache) ---------
 job p2i_gate1 2400 python run.py --config configs/r4/p2i_gate.yaml \
@@ -162,6 +155,18 @@ fi
 scene dyn_proxy
 job part4_scale 7200 python run.py --config configs/r4/part4_scale.yaml \
   --data_dir data_scenes/dyn_proxy
+
+# ---- P2b: render quality + sweep tail + profiles (same artifact) --------
+job quality_block 5400 python tools/quality_ab.py --ckpt "$CKPT" \
+  --data_dir data_scenes/lego_proxy --only block --n_images 8 \
+  --out "$QL/ab_block_r4.md"
+job bench_k28_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=28 BENCH_K2=8  python bench.py
+job bench_k24_12  2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=12 python bench.py
+job bench_1disp   2700 env BENCH_FROM_QUEUE=1 BENCH_SINGLE_DISPATCH=1 python bench.py
+# stage profiles: the data for the fine-pass-tail attack (ROADMAP P0)
+job profile_block     1800 python -u tools/profile_block.py
+job profile_block_k24 1800 python -u tools/profile_block.py --k1 24 --k2 8
+job profile_train     1800 python -u tools/profile_train.py
 
 # ---- P3: part 3 flagship (instant, 20k) --------------------------------
 job p3i_scale 10800 python run.py --config configs/r4/p3i_scale.yaml \

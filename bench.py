@@ -185,8 +185,23 @@ def main():
     far = float(cfg.get("far", 6.0))
 
     mode = os.environ.get("BENCH_MODE", "block")
-    k1 = int(os.environ.get("BENCH_K1", 32))
-    k2 = int(os.environ.get("BENCH_K2", 12 if mode == "block" else 16))
+    # Default sample counts; output/bench_defaults.json (written by
+    # tools/pick_bench_k.py from the measured FPS x quality sweep)
+    # overrides code defaults, explicit env vars override both.
+    k1_def, k2_def = 32, (12 if mode == "block" else 16)
+    defaults_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "output", "bench_defaults.json")
+    if os.path.exists(defaults_path):
+        try:
+            with open(defaults_path) as f:
+                picked = json.load(f)
+            k1_def = int(picked.get("k1", k1_def))
+            k2_def = int(picked.get("k2", k2_def))
+        except (OSError, ValueError):
+            pass
+    k1 = int(os.environ.get("BENCH_K1", k1_def))
+    k2 = int(os.environ.get("BENCH_K2", k2_def))
     block = int(os.environ.get("BENCH_BLOCK", 8))
     n_probe = int(os.environ.get("BENCH_PROBES", 96))
     dilate = int(os.environ.get("BENCH_DILATE", 1))
@@ -289,6 +304,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
         "source": source,
+        "config": f"{mode} k={k1}+{k2}",
     }))
 
 

@@ -128,6 +128,14 @@ CKPT=output/part2_instant_r3/lego_proxy/best_model.pth
 scene lego_proxy
 job bench_base    2700 env BENCH_FROM_QUEUE=1 python bench.py
 job bench_k24_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=8  python bench.py
+# quality per sweep point on the same artifact, then auto-pick the
+# shipped bench defaults (max FPS holding PSNR >= 25.88) and re-measure
+# the chosen configuration driver-style (no env overrides).
+job quality_block 5400 python tools/quality_ab.py --ckpt "$CKPT" \
+  --data_dir data_scenes/lego_proxy --only block --n_images 8 \
+  --out "$QL/ab_block_r4.md"
+job pick_k        300  python tools/pick_bench_k.py
+job bench_chosen  2700 env BENCH_FROM_QUEUE=1 python bench.py
 
 # ---- P1: Instant 5-min gate (compaction + warm compile cache) ---------
 job p2i_gate1 2400 python run.py --config configs/r4/p2i_gate.yaml \
@@ -156,13 +164,13 @@ scene dyn_proxy
 job part4_scale 7200 python run.py --config configs/r4/part4_scale.yaml \
   --data_dir data_scenes/dyn_proxy
 
-# ---- P2b: render quality + sweep tail + profiles (same artifact) --------
-job quality_block 5400 python tools/quality_ab.py --ckpt "$CKPT" \
-  --data_dir data_scenes/lego_proxy --only block --n_images 8 \
-  --out "$QL/ab_block_r4.md"
+# ---- P2b: render sweep tail + profiles (same artifact) ------------------
 job bench_k28_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=28 BENCH_K2=8  python bench.py
 job bench_k24_12  2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=12 python bench.py
 job bench_1disp   2700 env BENCH_FROM_QUEUE=1 BENCH_SINGLE_DISPATCH=1 python bench.py
+# re-pick with the full sweep measured (no-op if the choice stands)
+job pick_k2       300  python tools/pick_bench_k.py
+job bench_chosen2 2700 env BENCH_FROM_QUEUE=1 python bench.py
 # stage profiles: the data for the fine-pass-tail attack (ROADMAP P0)
 job profile_block     1800 python -u tools/profile_block.py
 job profile_block_k24 1800 python -u tools/profile_block.py --k1 24 --k2 8

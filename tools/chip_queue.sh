@@ -203,6 +203,27 @@ job ab_brick 2400 python run.py --config configs/r4/p2i_brick.yaml \
 job ab_exact 3600 python run.py --config configs/r4/p2i_exact.yaml \
   --data_dir data_scenes/lego_proxy
 
+# ---- P8: exact-layout reruns of the quality gates ------------------------
+# Only if the chip A/B confirms the CPU signal (exact > brick + 0.3 dB,
+# the VERDICT item-8 flip rule): rerun the two hardest quality gates
+# (part4 30 dB, part3i 28 dB) with hash_impl: exact. Pure upside — these
+# run only after every graded item above has its evidence.
+if [ -e "$QL/ab_exact.done" ] && [ -e "$QL/ab_brick.done" ]; then
+  pb=$(grep -oE "test PSNR: [0-9.]+" "$QL/ab_brick.log" \
+       | grep -oE "[0-9.]+$" | tail -1)
+  pe=$(grep -oE "test PSNR: [0-9.]+" "$QL/ab_exact.log" \
+       | grep -oE "[0-9.]+$" | tail -1)
+  if python3 -c "import sys; sys.exit(0 if float('${pe:-0}') > float('${pb:-99}') + 0.3 else 1)"; then
+    echo "[queue] chip A/B: exact $pe dB > brick $pb dB + 0.3 -> exact reruns"
+    job part4_exact 14400 python run.py \
+      --config configs/r4/part4_exact.yaml --data_dir data_scenes/dyn_proxy
+    job p3i_exact 21600 python run.py \
+      --config configs/r4/p3i_scale_exact.yaml --data_dir data_scenes/dyn_proxy
+  else
+    echo "[queue] chip A/B: exact ${pe:-?} vs brick ${pb:-?} dB — no flip"
+  fi
+fi
+
 echo "[queue] $(date -u +%H:%M:%S) queue complete"
 python tools/collect_results.py || true
 ls "$QL"

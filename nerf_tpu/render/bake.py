@@ -311,13 +311,34 @@ def _corner_weights(frac: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(-1, _CORNERS)
 
 
+# Trilerp strategy for baked_h ("reduce" | "fold" | "foldf32"), read at
+# trace time so bench/profile jobs can A/B it per process.
+#   reduce:  [N, 8, 16] broadcast-multiply + corner-axis sum (the r3 path).
+#   fold:    three successive lerps on STATIC lane slices of the gathered
+#            [N, 128] row (128 -> 64 -> 32 -> 16). Same math (the trilinear
+#            weights are separable; the fold is Horner's form of the
+#            corner sum), but no reshape/broadcast — an elementwise chain
+#            XLA can fuse straight into the gather consumer instead of
+#            materializing the [N, 8, 16] intermediate, the same
+#            traffic-not-gather cost the coarse sigma path eliminated with
+#            8-lane rows (memory: tpu-v5e-performance-model). bf16 folds
+#            for int8 tables (measured +0.06% mean interpolation noise vs
+#            the range — below the int8 quantization floor).
+#   foldf32: the fold chain in f32 — numerically exact trilinear interp.
+#            If the chain fuses (nothing materializes), f32 VPU lerps cost
+#            the same as bf16 and this dominates "fold"; if it spills, it
+#            doubles the spilled traffic. The chip profile picks.
+def _baked_trilerp_mode() -> str:
+    import os
+    return os.environ.get("BAKED_TRILERP", "reduce")
+
+
 def baked_h(baked: dict, x: jnp.ndarray, spec: BakedSpec) -> jnp.ndarray:
     """Trilinearly interpolated sigma-net outputs at world points [N,3].
 
-    One 128-lane row gather per point + one fused [N, 8, 16]
-    multiply-reduce; dequantization (int8 tables) happens after the
-    reduction — the corner weights sum to 1, so interp-then-dequant is
-    exact.
+    One 128-lane row gather per point + a fused corner interpolation;
+    dequantization (int8 tables) happens after the interpolation — the
+    corner weights sum to 1, so interp-then-dequant is exact.
     """
     r = spec.resolution
     nc = spec.cells_per_axis
@@ -330,16 +351,29 @@ def baked_h(baked: dict, x: jnp.ndarray, spec: BakedSpec) -> jnp.ndarray:
     row = (p0[:, 0] * nc + p0[:, 1]) * nc + p0[:, 2]
 
     rows = jnp.take(baked["cells"], row, axis=0, mode="clip")
-    # Corner reduce in bf16 for int8 tables (every int8 value is exact
-    # in bf16, and dequantization happens after the reduce): the
-    # materialized [N, 8, 16] intermediate is half the HBM traffic the
-    # f32 reduce paid (profiled ~17 ms/3.9M pts over the gather floor).
-    # f32/bf16 tables keep the f32 reduce — a bf16 cast would round them.
+    # int8 rows interpolate in bf16 (every int8 value is exact in bf16;
+    # profiled ~17 ms/3.9M pts cheaper than f32 at the [N, 8, 16] reduce).
+    # f32/bf16 tables keep f32 — a bf16 cast would round them.
     red = jnp.bfloat16 if rows.dtype == jnp.int8 else jnp.float32
-    v = rows.reshape(-1, _CORNERS, _N_CH).astype(red)
-    w = _corner_weights(frac).astype(red)
-    h = jnp.sum(v * w[:, :, None], axis=1,
-                dtype=jnp.float32)                         # [N, 16]
+    mode = _baked_trilerp_mode()
+    if mode.startswith("fold"):
+        if mode == "foldf32":
+            red = jnp.float32
+        # Lane layout is ((di*2 + dj)*2 + dk)*16 + ch (pack_slab corner-
+        # lexicographic), so each axis folds as one static half-row lerp.
+        fx = frac[:, 0:1].astype(red)
+        fy = frac[:, 1:2].astype(red)
+        fz = frac[:, 2:3].astype(red)
+        v = rows.astype(red)                               # [N, 128]
+        v = v[:, 0:64] + (v[:, 64:128] - v[:, 0:64]) * fx  # [N, 64]
+        v = v[:, 0:32] + (v[:, 32:64] - v[:, 0:32]) * fy   # [N, 32]
+        v = v[:, 0:16] + (v[:, 16:32] - v[:, 0:16]) * fz   # [N, 16]
+        h = v.astype(jnp.float32)
+    else:
+        v = rows.reshape(-1, _CORNERS, _N_CH).astype(red)
+        w = _corner_weights(frac).astype(red)
+        h = jnp.sum(v * w[:, :, None], axis=1,
+                    dtype=jnp.float32)                     # [N, 16]
     if baked.get("qscale") is not None:
         h = h * baked["qscale"][None, :] + baked["qzero"][None, :]
     return h

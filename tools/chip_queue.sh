@@ -168,6 +168,10 @@ job part4_scale 7200 python run.py --config configs/r4/part4_scale.yaml \
 job bench_k28_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=28 BENCH_K2=8  python bench.py
 job bench_k24_12  2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=12 python bench.py
 job bench_1disp   2700 env BENCH_FROM_QUEUE=1 BENCH_SINGLE_DISPATCH=1 python bench.py
+# factorized-trilerp fine pass (foldf32 is numerically exact; fold is
+# bf16 — needs a quality row before it could ever ship as default)
+job bench_foldf32 2700 env BENCH_FROM_QUEUE=1 BAKED_TRILERP=foldf32 python bench.py
+job bench_fold    2700 env BENCH_FROM_QUEUE=1 BAKED_TRILERP=fold    python bench.py
 # re-pick with the full sweep measured (no-op if the choice stands)
 job pick_k2       300  python tools/pick_bench_k.py
 job bench_chosen2 2700 env BENCH_FROM_QUEUE=1 python bench.py

@@ -204,6 +204,13 @@ def main():
         return jnp.sum(rgb_map[::97])
     timed(f"fine pass ({cap*bsq*k2/1e6:.0f}M pts)", fine)
 
+    # Trilerp strategy A/B (bake._baked_trilerp_mode reads the env at
+    # trace time; `timed` re-jits per call, so this re-traces cleanly).
+    for mode in ("fold", "foldf32"):
+        os.environ["BAKED_TRILERP"] = mode
+        timed(f"fine pass, trilerp={mode}", fine)
+    os.environ.pop("BAKED_TRILERP", None)
+
     # --- decompositions ---
     from nerf_tpu.render.bake import bake_sigma_cells
     r_bake = bspec.resolution

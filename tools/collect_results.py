@@ -42,6 +42,8 @@ def main():
                 j = json.loads(m[-1])
                 cells["fps"] = f"{j.get('value', 0):.3f}"
                 cells["vs_baseline"] = f"{j.get('vs_baseline', 0):.3f}"
+                if "config" in j:
+                    cells["config"] = j["config"]
                 if "error" in j:
                     cells["note"] = j["error"][:60]
             except json.JSONDecodeError:
@@ -57,8 +59,8 @@ def main():
             cells["best_val_db"] = m[-1]
         rows.append(cells)
 
-    cols = ["job", "status", "fps", "vs_baseline", "test_psnr_db",
-            "best_val_db", "wall", "note"]
+    cols = ["job", "status", "fps", "vs_baseline", "config",
+            "test_psnr_db", "best_val_db", "wall", "note"]
     used = [c for c in cols if any(c in r for r in rows)]
     lines = ["# Round-4 chip-queue results", "",
              "| " + " | ".join(used) + " |",

@@ -160,11 +160,33 @@ if [ -e "$QL/p2i_gate2.done" ] && [ ! -e "$QL/p2i_gate_nc.done" ]; then
 fi
 
 # ---- P2: part 4 at scale (anchor-times fix landed r3) ------------------
+# The part-3/part-4 recipes defer the test pass to --eval_only
+# (reference parity: run.py:2121-2160), so each training job is followed
+# by an eval job that records the dense full-test PSNR + orbit frames.
+# The eval runs off best_model.pth so it still lands if training hit its
+# timeout after the last val checkpoint.
 scene dyn_proxy
 job part4_scale 7200 python run.py --config configs/r4/part4_scale.yaml \
   --data_dir data_scenes/dyn_proxy
+if [ -f output/part4_r4/dyn_proxy/best_model.pth ]; then
+  job part4_scale_eval 3600 python run.py \
+    --config configs/r4/part4_scale.yaml \
+    --data_dir data_scenes/dyn_proxy --eval_only --render_n -1 \
+    --checkpoint output/part4_r4/dyn_proxy/best_model.pth
+fi
+# Exact-layout part4: the CPU layout A/B (output/ab_cpu/SUMMARY.md) has
+# exact leading brick by 3.2 dB at equal param count — worth chip time
+# on the hardest quality gate without waiting for the chip A/B (P7).
+job part4_exact 10800 python run.py \
+  --config configs/r4/part4_exact.yaml --data_dir data_scenes/dyn_proxy
+if [ -f output/part4_exact_r4/dyn_proxy/best_model.pth ]; then
+  job part4_exact_eval 3600 python run.py \
+    --config configs/r4/part4_exact.yaml \
+    --data_dir data_scenes/dyn_proxy --eval_only --render_n -1 \
+    --checkpoint output/part4_exact_r4/dyn_proxy/best_model.pth
+fi
 
-# ---- P2b: render sweep tail + profiles (same artifact) ------------------
+# ---- P2b: render sweep tail (same artifact) ------------------------------
 job bench_k28_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=28 BENCH_K2=8  python bench.py
 job bench_k24_12  2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=12 python bench.py
 job bench_1disp   2700 env BENCH_FROM_QUEUE=1 BENCH_SINGLE_DISPATCH=1 python bench.py
@@ -175,14 +197,15 @@ job bench_fold    2700 env BENCH_FROM_QUEUE=1 BAKED_TRILERP=fold    python bench
 # re-pick with the full sweep measured (no-op if the choice stands)
 job pick_k2       300  python tools/pick_bench_k.py
 job bench_chosen2 2700 env BENCH_FROM_QUEUE=1 python bench.py
-# stage profiles: the data for the fine-pass-tail attack (ROADMAP P0)
+# the headline-config stage profile (fine-pass-tail data, ROADMAP P0);
+# the other profiles run in the P9 tail after every graded row
 job profile_block     1800 python -u tools/profile_block.py
-job profile_block_k24 1800 python -u tools/profile_block.py --k1 24 --k2 8
-job profile_train     1800 python -u tools/profile_train.py
 
 # ---- P3: part 3 flagship (instant, 20k) --------------------------------
+# --render_n 20 routes the post-train eval into the full-test dense PSNR
+# pass (render_n -1 would render the orbit video INSTEAD of the metric).
 job p3i_scale 10800 python run.py --config configs/r4/p3i_scale.yaml \
-  --data_dir data_scenes/dyn_proxy
+  --data_dir data_scenes/dyn_proxy --render_n 20
 
 # ---- P4: part 2 vanilla golden number ----------------------------------
 job p2_20k 3600 python run.py --config configs/r4/p2_20k.yaml \
@@ -192,10 +215,16 @@ job p2_20k 3600 python run.py --config configs/r4/p2_20k.yaml \
 scene dyn_gentle
 job part4_gentle 7200 python run.py --config configs/r4/part4_gentle.yaml \
   --data_dir data_scenes/dyn_gentle
+if [ -f output/part4_gentle_r4/dyn_gentle/best_model.pth ]; then
+  job part4_gentle_eval 3600 python run.py \
+    --config configs/r4/part4_gentle.yaml \
+    --data_dir data_scenes/dyn_gentle --eval_only --render_n -1 \
+    --checkpoint output/part4_gentle_r4/dyn_gentle/best_model.pth
+fi
 job part3_std 7200 python run.py --config configs/r4/part3_scale.yaml \
-  --data_dir data_scenes/dyn_proxy
+  --data_dir data_scenes/dyn_proxy --render_n 20
 job part3_dtc 7200 python run.py --config configs/r4/part3_dtc_scale.yaml \
-  --data_dir data_scenes/dyn_proxy
+  --data_dir data_scenes/dyn_proxy --render_n 20
 
 # ---- P6: part 1 photo-scale fit ----------------------------------------
 job part1_photo 2400 python run.py --config configs/r4/part1_photo.yaml \
@@ -207,25 +236,40 @@ job ab_brick 2400 python run.py --config configs/r4/p2i_brick.yaml \
 job ab_exact 3600 python run.py --config configs/r4/p2i_exact.yaml \
   --data_dir data_scenes/lego_proxy
 
-# ---- P8: exact-layout reruns of the quality gates ------------------------
-# Only if the chip A/B confirms the CPU signal (exact > brick + 0.3 dB,
-# the VERDICT item-8 flip rule): rerun the two hardest quality gates
-# (part4 30 dB, part3i 28 dB) with hash_impl: exact. Pure upside — these
-# run only after every graded item above has its evidence.
+# ---- P8: exact-layout rerun of the part-3i gate ---------------------------
+# part4_exact moved up to P2 (the CPU A/B signal was decisive at 3.2 dB).
+# The 20k-step p3i exact rerun is the longest job in the queue, so it
+# still waits for the chip A/B to confirm the flip on chip; if the chip
+# A/B did not run, the committed CPU A/B (output/ab_cpu) decides.
+pb=""; pe=""
 if [ -e "$QL/ab_exact.done" ] && [ -e "$QL/ab_brick.done" ]; then
   pb=$(grep -oE "test PSNR: [0-9.]+" "$QL/ab_brick.log" \
        | grep -oE "[0-9.]+$" | tail -1)
   pe=$(grep -oE "test PSNR: [0-9.]+" "$QL/ab_exact.log" \
        | grep -oE "[0-9.]+$" | tail -1)
-  if python3 -c "import sys; sys.exit(0 if float('${pe:-0}') > float('${pb:-99}') + 0.3 else 1)"; then
-    echo "[queue] chip A/B: exact $pe dB > brick $pb dB + 0.3 -> exact reruns"
-    job part4_exact 14400 python run.py \
-      --config configs/r4/part4_exact.yaml --data_dir data_scenes/dyn_proxy
-    job p3i_exact 21600 python run.py \
-      --config configs/r4/p3i_scale_exact.yaml --data_dir data_scenes/dyn_proxy
-  else
-    echo "[queue] chip A/B: exact ${pe:-?} vs brick ${pb:-?} dB — no flip"
-  fi
+elif [ -f output/ab_cpu/brick.log ] && [ -f output/ab_cpu/exact.log ]; then
+  pb=$(grep -oE "test PSNR: [0-9.]+" output/ab_cpu/brick.log \
+       | grep -oE "[0-9.]+$" | tail -1)
+  pe=$(grep -oE "test PSNR: [0-9.]+" output/ab_cpu/exact.log \
+       | grep -oE "[0-9.]+$" | tail -1)
+fi
+if python3 -c "import sys; sys.exit(0 if float('${pe:-0}') > float('${pb:-99}') + 0.3 else 1)"; then
+  echo "[queue] layout A/B: exact $pe dB > brick $pb dB + 0.3 -> p3i exact rerun"
+  job p3i_exact 21600 python run.py \
+    --config configs/r4/p3i_scale_exact.yaml \
+    --data_dir data_scenes/dyn_proxy --render_n 20
+else
+  echo "[queue] layout A/B: exact ${pe:-?} vs brick ${pb:-?} dB — no flip"
+fi
+
+# ---- P9: diagnostics tail (ungraded; after every graded row) -------------
+job profile_block_k24 1800 python -u tools/profile_block.py --k1 24 --k2 8
+job profile_train     1800 python -u tools/profile_train.py
+# part-3i orbit video (the PSNR row came from --render_n 20 at P3)
+if [ -f output/part3_instant_r4/dyn_proxy/best_model.pth ]; then
+  job p3i_orbit 3600 python run.py --config configs/r4/p3i_scale.yaml \
+    --data_dir data_scenes/dyn_proxy --eval_only --render_n -1 \
+    --checkpoint output/part3_instant_r4/dyn_proxy/best_model.pth
 fi
 
 echo "[queue] $(date -u +%H:%M:%S) queue complete"

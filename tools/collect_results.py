@@ -19,7 +19,7 @@ QL = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 
 BENCH_RE = re.compile(r'^\{"metric".*\}$', re.M)
 PSNR_RE = re.compile(r">>> (?:[\w -]*?)(?:test PSNR|Final PSNR|Eval PSNR)"
-                     r"[: ]+([0-9.]+) dB")
+                     r"[: ]+([0-9.]+) dB", re.I)
 WALL_RE = re.compile(r"training wall-clock (\d+:\d+\.?\d*)")
 VAL_RE = re.compile(r"best val PSNR: ([0-9.]+) dB")
 

@@ -99,6 +99,21 @@ def wrapper() -> None:
             time.sleep(35)  # one queue poll interval: let it pause + drain
         except OSError:
             pass
+    if claimed:
+        # Keep the marker fresh for the whole run: the queue treats
+        # markers >30 min old as stale and would resume its paused chip
+        # job under a still-measuring bench (first compile alone can
+        # exceed 30 min over the tunnel).
+        import threading
+
+        def _refresh():
+            while True:
+                time.sleep(60)
+                try:
+                    os.utime(_PRIORITY_MARKER)
+                except OSError:
+                    return  # marker removed: bench is done
+        threading.Thread(target=_refresh, daemon=True).start()
 
     env = dict(os.environ, BENCH_INNER="1")
     last_tail = ""

@@ -333,12 +333,18 @@ def _baked_trilerp_mode() -> str:
     return os.environ.get("BAKED_TRILERP", "reduce")
 
 
-def baked_h(baked: dict, x: jnp.ndarray, spec: BakedSpec) -> jnp.ndarray:
+def baked_h(baked: dict, x: jnp.ndarray, spec: BakedSpec,
+            mode: str | None = None) -> jnp.ndarray:
     """Trilinearly interpolated sigma-net outputs at world points [N,3].
 
     One 128-lane row gather per point + a fused corner interpolation;
     dequantization (int8 tables) happens after the interpolation — the
     corner weights sum to 1, so interp-then-dequant is exact.
+
+    `mode` pins the trilerp strategy; None reads BAKED_TRILERP at trace
+    time. Callers that embed this in persistently cached jitted programs
+    (build_baked_field) capture the mode at construction so an env-var
+    change cannot be silently ignored by a warm jit cache mid-process.
     """
     r = spec.resolution
     nc = spec.cells_per_axis
@@ -355,7 +361,8 @@ def baked_h(baked: dict, x: jnp.ndarray, spec: BakedSpec) -> jnp.ndarray:
     # profiled ~17 ms/3.9M pts cheaper than f32 at the [N, 8, 16] reduce).
     # f32/bf16 tables keep f32 — a bf16 cast would round them.
     red = jnp.bfloat16 if rows.dtype == jnp.int8 else jnp.float32
-    mode = _baked_trilerp_mode()
+    if mode is None:
+        mode = _baked_trilerp_mode()
     if mode.startswith("fold"):
         if mode == "foldf32":
             red = jnp.float32
@@ -409,6 +416,12 @@ def build_baked_field(spec: BakedSpec, L_dir: int = 4,
     live view-dependent color MLP. Pruning is already folded into the bake,
     so render WITHOUT grid_binary.
     """
+    # Captured ONCE at construction: renderers cache jitted programs
+    # keyed on the field closure, so reading the env var at trace time
+    # would let a warm cache silently ignore a mid-process BAKED_TRILERP
+    # change (an A/B in one process would report the wrong arm). A new
+    # build_baked_field call picks up the new value with fresh caches.
+    trilerp_mode = _baked_trilerp_mode()
 
     def init(key):
         raise NotImplementedError(
@@ -416,7 +429,7 @@ def build_baked_field(spec: BakedSpec, L_dir: int = 4,
 
     def apply(params, x, d=None, t=None, *, train=False, rng=None,
               max_level=None):
-        h = baked_h(params, x, spec)
+        h = baked_h(params, x, spec, trilerp_mode)
         sigma = jax.nn.softplus(h[:, 0:1] - 5.0)
         de = fourier_encode(d, L_dir).astype(compute_dtype)
         color_in = jnp.concatenate([h.astype(compute_dtype), de], axis=-1)
@@ -435,7 +448,8 @@ def build_baked_field(spec: BakedSpec, L_dir: int = 4,
         first layer is linear in its concatenated input.
         """
         r, k, _ = pts.shape
-        h = baked_h(params, pts.reshape(-1, 3), spec)         # [R*k, 16]
+        h = baked_h(params, pts.reshape(-1, 3), spec,
+                    trilerp_mode)                             # [R*k, 16]
         sigma = jax.nn.softplus(h[:, 0:1] - 5.0)
 
         layers = params["color_net"]

@@ -308,7 +308,13 @@ class BlockFrameRenderer:
             self._sres_cache = sigma_cells_res(baked)
         sres = self._sres_cache
         n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-        key = (id(mesh), axis, sres)
+        # Stable mesh identity (device ids + axes), not id(mesh): a GC'd
+        # Mesh's id can be reused by a new mesh with different devices,
+        # which would silently replay a stale compiled program.
+        mesh_key = (tuple(d.id for d in mesh.devices.flat),
+                    tuple(mesh.axis_names),
+                    tuple(mesh.devices.shape))
+        key = (mesh_key, axis, sres)
         if key not in self._sharded_cache:
             one_frame = self._one_frame_fn
 

@@ -302,6 +302,13 @@ class ImageRenderer:
         if (self.sampling == "importance" or self._mesh is not None
                 or not hasattr(dataset, "images")):
             return None
+        if self.sampling in ("cdf", "interval") and grid_binary is None:
+            # Same contract as __call__ (see the guard there): raising the
+            # clear error here beats the obscure trace-time failure it
+            # would otherwise become inside lax.map.
+            raise ValueError(
+                f"sampling='{self.sampling}' requires grid_binary; render "
+                f"with the dense mode or pass the occupancy grid")
         import numpy as _np
 
         needs_time = self.field.needs_time

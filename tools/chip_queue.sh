@@ -76,7 +76,7 @@ job() {
   local name=$1 tmo=$2; shift 2
   [ -e "$QL/$name.done" ] && { echo "[queue] $name: done, skip"; return 0; }
   [ -e "$QL/$name.fail" ] && { echo "[queue] $name: failed earlier, skip"; return 1; }
-  local tries=0
+  local tries=0 pause_retries=0
   while : ; do
     wait_relay
     while bench_priority; do
@@ -86,13 +86,13 @@ job() {
     echo "[queue] $(date -u +%H:%M:%S) START $name: $*"
     local t0=$SECONDS
     timeout "$tmo" "$@" > "$QL/$name.log" 2>&1 &
-    local jpid=$! stopped=0
+    local jpid=$! stopped=0 was_paused=0
     while kill -0 "$jpid" 2>/dev/null; do
       if bench_priority; then
         if [ "$stopped" -eq 0 ]; then
           echo "[queue] $(date -u +%H:%M:%S) pausing $name for driver bench"
           pkill -STOP -P "$jpid" 2>/dev/null; kill -STOP "$jpid" 2>/dev/null
-          stopped=1
+          stopped=1 was_paused=1
         fi
       elif [ "$stopped" -eq 1 ]; then
         echo "[queue] $(date -u +%H:%M:%S) resuming $name"
@@ -106,6 +106,15 @@ job() {
     echo "[queue] $(date -u +%H:%M:%S) END $name rc=$rc (${t0:+$((SECONDS-t0))}s)"
     if [ $rc -eq 0 ]; then
       touch "$QL/$name.done"; commit_evidence "$name" 0; return 0
+    fi
+    # GNU timeout counts SIGSTOP-paused wall time toward the budget, so a
+    # job paused for a driver bench can be timeout-killed (rc=124) through
+    # no fault of its own; that leaves no tunnel-class signature in the
+    # log and would .fail permanently. Retry it (bounded) instead.
+    if [ $rc -eq 124 ] && [ "$was_paused" -eq 1 ] \
+        && [ $((pause_retries+=1)) -le 2 ]; then
+      echo "[queue] $name: rc=124 after a bench pause; retry $pause_retries/2"
+      continue
     fi
     if grep -qE "Unable to initialize backend|UNAVAILABLE|DEADLINE_EXCEEDED" \
         "$QL/$name.log" && [ $((tries+=1)) -le 4 ]; then

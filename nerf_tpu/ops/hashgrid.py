@@ -82,15 +82,22 @@ class HashGridSpec:
     bound: float = 1.0
     # "brick": TPU-native brick-row layout (fast path, F=2 only).
     # "exact": faithful Instant-NGP per-vertex layout (8 scalar-row gathers
-    # per point-level; ~8x slower) — the quality-reference implementation
-    # used to A/B the brick layout's seam/collision trade-offs, and the
-    # fallback for n_features_per_level != 2.
+    # per point-level; ~8x the gather descriptors) — the quality-reference
+    # implementation used to A/B the brick layout's seam/collision
+    # trade-offs, and the fallback for n_features_per_level != 2.
+    # "mixed": brick rows for the dense coarse levels (no hashing there, so
+    # no brick-granularity collisions — seams only, which the round-4 CPU
+    # capacity A/B showed are not the defect) + exact per-vertex storage
+    # for the levels the brick layout would hash (collisions at VERTEX
+    # granularity, the granularity Instant-NGP's decoder is designed to
+    # absorb). Splits the descriptor cost: 1 row-gather per coarse level,
+    # 8 vertex gathers per fine level.
     impl: str = "brick"
 
     def __post_init__(self):
-        if self.impl not in ("brick", "exact"):
+        if self.impl not in ("brick", "exact", "mixed"):
             raise ValueError(f"unknown hash impl: {self.impl}")
-        if self.impl == "brick" and self.n_features_per_level != 2:
+        if self.impl in ("brick", "mixed") and self.n_features_per_level != 2:
             raise NotImplementedError(
                 "brick rows are laid out for n_features_per_level=2 "
                 "(64 vertices x 2 = one 128-wide row); use impl='exact' "
@@ -161,16 +168,56 @@ class HashGridSpec:
             offs.append(offs[-1] + s)
         return tuple(offs)
 
+    # ---- mixed (brick coarse prefix + per-vertex fine suffix) layout -----
+    @property
+    def mixed_split(self) -> int:
+        """First level the brick layout would HASH. Mixed stores levels
+        below this as dense brick rows (identical to impl='brick') and
+        levels from here on per-vertex (identical math to impl='exact')."""
+        for l, nb in enumerate(self.bricks_per_axis):
+            if nb ** 3 > self.max_bricks:
+                return l
+        return self.n_levels
+
+    @property
+    def mixed_vertex_sizes(self) -> Tuple[int, ...]:
+        """Per-vertex entries for levels >= mixed_split: dense res^3 when
+        it fits the 2^log2_hashmap_size budget, else the hash budget —
+        the same rule the exact layout applies to every level."""
+        cap = 1 << self.log2_hashmap_size
+        return tuple(min(self.resolutions[l] ** 3, cap)
+                     for l in range(self.mixed_split, self.n_levels))
+
+    @property
+    def mixed_vertex_offsets(self) -> Tuple[int, ...]:
+        offs = [0]
+        for s in self.mixed_vertex_sizes:
+            offs.append(offs[-1] + s)
+        return tuple(offs)
+
+    @property
+    def mixed_n_params(self) -> int:
+        """Flat scalar count of the mixed table: dense brick rows first,
+        then the per-vertex region."""
+        return (self.level_offsets[self.mixed_split] * _ROW_W
+                + self.mixed_vertex_offsets[-1] * self.n_features_per_level)
+
 
 def hash_grid_init(key: jax.Array, spec: HashGridSpec,
                    dtype=jnp.float32) -> jnp.ndarray:
     """Init the feature table with U(-1e-4, 1e-4) (the same init scale
     tiny-cuda-nn uses for grid encodings). Shape depends on the layout:
-    brick -> [n_bricks, 128]; exact -> [n_vertices, F]."""
+    brick -> [n_bricks, 128]; exact -> [n_vertices, F]; mixed -> flat
+    [mixed_n_params] (brick rows first, then the per-vertex region — a
+    1-D table so the flat-access surface: TV regularizers, part-4 init
+    perturbation, stays trivially valid)."""
     if spec.impl == "exact":
         return jax.random.uniform(
             key, (spec.level_vertex_offsets[-1], spec.n_features_per_level),
             dtype, -1e-4, 1e-4)
+    if spec.impl == "mixed":
+        return jax.random.uniform(
+            key, (spec.mixed_n_params,), dtype, -1e-4, 1e-4)
     return jax.random.uniform(
         key, (spec.n_bricks, _ROW_W), dtype, -1e-4, 1e-4)
 
@@ -180,24 +227,26 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
                 ) -> jnp.ndarray:
     if spec.impl == "exact":
         return hash_encode_exact(table, x, spec, max_level)
+    if spec.impl == "mixed":
+        return hash_encode_mixed(table, x, spec, max_level)
     return _hash_encode_brick(table, x, spec, max_level)
 
 
-def hash_encode_exact(table: jnp.ndarray, x: jnp.ndarray,
-                      spec: HashGridSpec, max_level: int | None = None
-                      ) -> jnp.ndarray:
-    """Faithful Instant-NGP encoding: 8 per-vertex gathers + trilerp per
-    level, dense levels indexed directly, hashed levels via the spatial
-    hash on VERTEX coordinates (Mueller et al. 2022, eq. 4).
+def _encode_vertex_levels(table: jnp.ndarray, x01: jnp.ndarray,
+                          spec: HashGridSpec, levels, offsets
+                          ) -> jnp.ndarray:
+    """Per-vertex (Instant-NGP-faithful) features for a list of levels.
 
-    This is the quality-reference implementation for the brick-row layout
-    (which hashes brick coordinates and duplicates seam vertices): same
-    signature, same config surface, ~8x the gather descriptors.
+    8 vertex gathers + trilerp per level; dense levels (res^3 fits the
+    2^log2_hashmap_size budget) index directly, the rest use the spatial
+    hash on VERTEX coordinates (Mueller et al. 2022, eq. 4). `table` is
+    the [n_vertices, F] region holding exactly `levels` at `offsets`
+    (aligned with `levels`). Shared by the exact layout (all levels) and
+    the mixed layout (the fine suffix). Returns [N, len(levels)*F],
+    level-major.
     """
-    n = x.shape[0]
+    n = x01.shape[0]
     f = spec.n_features_per_level
-    xf = x.astype(jnp.float32)
-    x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
     cap = 1 << spec.log2_hashmap_size
 
     # the 8 cell-corner offsets
@@ -232,36 +281,107 @@ def hash_encode_exact(table: jnp.ndarray, x: jnp.ndarray,
             w = w * (ca * fa + (1.0 - ca) * (1.0 - fa))
         return jnp.sum(w[..., None] * vals, axis=1)         # [N, F]
 
-    lmax = spec.n_levels if max_level is None else min(max_level,
-                                                       spec.n_levels)
-    sizes = spec.level_vertices
-    offsets = spec.level_vertex_offsets
-    dense_lvls = [l for l in range(lmax)
-                  if spec.resolutions[l] ** 3 <= cap]
-    hashed_lvls = [l for l in range(lmax) if l not in dense_lvls]
+    dense_i = [i for i, l in enumerate(levels)
+               if spec.resolutions[l] ** 3 <= cap]
+    hashed_i = [i for i in range(len(levels)) if i not in dense_i]
 
-    feats = [level_feats(spec.resolutions[l], offsets[l], True)
-             for l in dense_lvls]
+    feats = [level_feats(spec.resolutions[levels[i]], offsets[i], True)
+             for i in dense_i]
 
-    if hashed_lvls:
-        assert all(sizes[l] == cap for l in hashed_lvls)
-        res_arr = jnp.asarray([spec.resolutions[l] for l in hashed_lvls],
-                              jnp.int32)
-        off_arr = jnp.asarray([offsets[l] for l in hashed_lvls], jnp.int32)
+    if hashed_i:
+        res_arr = jnp.asarray(
+            [spec.resolutions[levels[i]] for i in hashed_i], jnp.int32)
+        off_arr = jnp.asarray([offsets[i] for i in hashed_i], jnp.int32)
 
         @jax.checkpoint
         def _one(ro):
             res, offset = ro
             return level_feats(res, offset, False).T        # [F, N]
 
-        # unroll=False: the exact impl is the quality-reference/A-B path,
-        # not the hot path — its 8-gathers-per-level graph is ~8x the brick
-        # impl's and unrolling it made remote TPU compiles pathologically
-        # slow (>45 min at 16 levels).
+        # unroll=False: the per-vertex path is the quality-reference/A-B
+        # path, not the hot path — its 8-gathers-per-level graph is ~8x
+        # the brick impl's and unrolling it made remote TPU compiles
+        # pathologically slow (>45 min at 16 levels).
         _, ys = jax.lax.scan(lambda _, ro: (None, _one(ro)), None,
                              (res_arr, off_arr), unroll=False)
-        feats.append(ys.reshape(len(hashed_lvls) * f, n).T)
+        feats.append(ys.reshape(len(hashed_i) * f, n).T)
 
+    return jnp.concatenate(feats, axis=-1)
+
+
+def hash_encode_exact(table: jnp.ndarray, x: jnp.ndarray,
+                      spec: HashGridSpec, max_level: int | None = None
+                      ) -> jnp.ndarray:
+    """Faithful Instant-NGP encoding: 8 per-vertex gathers + trilerp per
+    level, dense levels indexed directly, hashed levels via the spatial
+    hash on VERTEX coordinates (Mueller et al. 2022, eq. 4).
+
+    This is the quality-reference implementation for the brick-row layout
+    (which hashes brick coordinates and duplicates seam vertices): same
+    signature, same config surface, ~8x the gather descriptors.
+    """
+    n = x.shape[0]
+    f = spec.n_features_per_level
+    xf = x.astype(jnp.float32)
+    x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
+    cap = 1 << spec.log2_hashmap_size
+    assert all(spec.level_vertices[l] == cap for l in range(spec.n_levels)
+               if spec.resolutions[l] ** 3 > cap)
+
+    lmax = spec.n_levels if max_level is None else min(max_level,
+                                                       spec.n_levels)
+    feats = [_encode_vertex_levels(
+        table, x01, spec, list(range(lmax)),
+        spec.level_vertex_offsets[:lmax])] if lmax else []
+    if lmax < spec.n_levels:
+        feats.append(jnp.zeros((n, (spec.n_levels - lmax) * f), jnp.float32))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def hash_encode_mixed(table: jnp.ndarray, x: jnp.ndarray,
+                      spec: HashGridSpec, max_level: int | None = None
+                      ) -> jnp.ndarray:
+    """Mixed layout: brick rows for the dense coarse prefix + per-vertex
+    storage for the levels the brick layout would hash.
+
+    Rationale (round-4 CPU A/B, output/ab_cpu/SUMMARY.md): at equal
+    params the brick layout loses ~3.2 dB to the exact layout and
+    doubling brick capacity does not close it — the defect is the
+    COLLISION GRANULARITY of hashing whole 64-vertex bricks, not
+    capacity and not the dense-level seams. Mixed therefore keeps the
+    cheap path exactly where it is collision-free (dense levels: one
+    128-lane row-gather each, ~62%% of the levels at the reference
+    config) and pays the 8-gather exact cost only on the hashed fine
+    levels, where collisions happen at vertex granularity — the
+    granularity the Instant-NGP decoder is designed to absorb
+    (reference: src/embeddings.py:39-93).
+
+    `table` is flat 1-D (see hash_grid_init); the two regions are static
+    slices, so XLA treats them as independent gather sources.
+    """
+    split = spec.mixed_split
+    f = spec.n_features_per_level
+    n = x.shape[0]
+    n_brick_rows = spec.level_offsets[split]
+    brick_tab = table[: n_brick_rows * _ROW_W].reshape(n_brick_rows, _ROW_W)
+
+    lmax = spec.n_levels if max_level is None else min(max_level,
+                                                       spec.n_levels)
+    feats = []
+    n_brick_lvls = min(lmax, split)
+    if n_brick_lvls:
+        # Identical math and parameter layout to impl="brick" for these
+        # levels; the brick encoder zero-fills past max_level, slice off.
+        b = _hash_encode_brick(brick_tab, x, spec, max_level=n_brick_lvls)
+        feats.append(b[:, : n_brick_lvls * f])
+    if lmax > split:
+        xf = x.astype(jnp.float32)
+        x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
+        vert_tab = table[n_brick_rows * _ROW_W:].reshape(-1, f)
+        levels = list(range(split, lmax))
+        feats.append(_encode_vertex_levels(
+            vert_tab, x01, spec, levels,
+            spec.mixed_vertex_offsets[:len(levels)]))
     if lmax < spec.n_levels:
         feats.append(jnp.zeros((n, (spec.n_levels - lmax) * f), jnp.float32))
     return jnp.concatenate(feats, axis=-1)

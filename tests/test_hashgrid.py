@@ -240,3 +240,147 @@ def test_fields_fallback_to_exact_for_f_not_2(rng_key):
     dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (16, 3))
     rgb, sigma = field.apply(params, pts, dirs)
     assert rgb.shape == (16, 3) and sigma.shape == (16, 1)
+
+
+# ---- mixed layout (brick coarse prefix + per-vertex fine suffix) --------
+
+def _mixed_spec(**kw):
+    # base 4, scale 2.0, 5 levels -> res (4, 8, 16, 32, 64); with
+    # log2_hashmap_size=12 the brick budget is 64 rows, so bricks/axis
+    # (2, 3, 6, 11, 22) hash from level 2 on (6^3=216 > 64) while vertex
+    # capacity 4096 keeps levels 0-2 vertex-dense and hashes 3-4.
+    d = dict(n_levels=5, n_features_per_level=2, log2_hashmap_size=12,
+             base_resolution=4, per_level_scale=2.0, bound=1.0,
+             impl="mixed")
+    d.update(kw)
+    return HashGridSpec(**d)
+
+
+def test_mixed_split_and_param_layout():
+    spec = _mixed_spec()
+    assert spec.mixed_split == 2
+    assert spec.mixed_vertex_sizes == (4096, 4096, 4096)
+    from nerf_tpu.ops.hashgrid import _ROW_W
+    assert spec.mixed_n_params == (spec.level_offsets[2] * _ROW_W
+                                   + 3 * 4096 * 2)
+
+
+def test_mixed_prefix_matches_brick(rng_key):
+    """Columns of the dense coarse levels are bit-identical to the brick
+    impl evaluated on the same brick rows."""
+    import dataclasses
+    from nerf_tpu.ops.hashgrid import _ROW_W, _hash_encode_brick
+    spec = _mixed_spec()
+    table = hash_grid_init(rng_key, spec)
+    split = spec.mixed_split
+    nrows = spec.level_offsets[split]
+
+    spec_b = dataclasses.replace(spec, impl="brick")
+    table_b = hash_grid_init(jax.random.PRNGKey(7), spec_b)
+    table_b = table_b.at[:nrows].set(
+        table[: nrows * _ROW_W].reshape(nrows, _ROW_W))
+
+    x = jax.random.uniform(rng_key, (128, 3), jnp.float32, -1.0, 1.0)
+    out_m = np.asarray(hash_encode(table, x, spec))
+    out_b = np.asarray(_hash_encode_brick(table_b, x, spec_b))
+    f = spec.n_features_per_level
+    np.testing.assert_array_equal(out_m[:, : split * f],
+                                  out_b[:, : split * f])
+
+
+def test_mixed_suffix_matches_exact(rng_key):
+    """Columns of the fine levels equal hash_encode_exact on an exact
+    table whose corresponding level regions hold the same values."""
+    spec = _mixed_spec()
+    import dataclasses
+    from nerf_tpu.ops.hashgrid import _ROW_W
+    table = hash_grid_init(rng_key, spec)
+    split = spec.mixed_split
+    f = spec.n_features_per_level
+    vert = np.asarray(table[spec.level_offsets[split] * _ROW_W:]
+                      ).reshape(-1, f)
+
+    spec_e = dataclasses.replace(spec, impl="exact")
+    tab_e = np.zeros((spec_e.level_vertex_offsets[-1], f), np.float32)
+    offs_e = spec_e.level_vertex_offsets
+    offs_m = spec.mixed_vertex_offsets
+    for i, l in enumerate(range(split, spec.n_levels)):
+        n = spec.mixed_vertex_sizes[i]
+        assert spec_e.level_vertices[l] == n
+        tab_e[offs_e[l]: offs_e[l] + n] = vert[offs_m[i]: offs_m[i] + n]
+
+    x = jax.random.uniform(rng_key, (128, 3), jnp.float32, -1.0, 1.0)
+    out_m = np.asarray(hash_encode(table, x, spec))
+    out_e = np.asarray(hash_encode(jnp.asarray(tab_e), x, spec_e))
+    np.testing.assert_allclose(out_m[:, split * f:], out_e[:, split * f:],
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_mixed_all_dense_equals_brick(rng_key):
+    """When no level needs hashing the mixed layout IS the brick layout
+    (same params, same features)."""
+    import dataclasses
+    from nerf_tpu.ops.hashgrid import _ROW_W, _hash_encode_brick
+    spec = _mixed_spec(n_levels=2, log2_hashmap_size=14)  # res 4, 8 dense
+    assert spec.mixed_split == spec.n_levels
+    table = hash_grid_init(rng_key, spec)
+    spec_b = dataclasses.replace(spec, impl="brick")
+    tb = table.reshape(spec_b.n_bricks, _ROW_W)
+    x = jax.random.uniform(rng_key, (64, 3), jnp.float32, -1.0, 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(hash_encode(table, x, spec)),
+        np.asarray(_hash_encode_brick(tb, x, spec_b)))
+
+
+def test_mixed_grads_flow_to_both_regions(rng_key):
+    from nerf_tpu.ops.hashgrid import _ROW_W
+    spec = _mixed_spec()
+    table = hash_grid_init(rng_key, spec)
+    x = jax.random.uniform(rng_key, (64, 3), jnp.float32, -0.9, 0.9)
+
+    g = jax.grad(lambda t: jnp.sum(hash_encode(t, x, spec) ** 2))(table)
+    assert g.shape == table.shape
+    cut = spec.level_offsets[spec.mixed_split] * _ROW_W
+    assert float(jnp.sum(jnp.abs(g[:cut]))) > 0.0
+    assert float(jnp.sum(jnp.abs(g[cut:]))) > 0.0
+
+
+def test_mixed_max_level(rng_key):
+    spec = _mixed_spec()
+    table = hash_grid_init(rng_key, spec)
+    x = jax.random.uniform(rng_key, (16, 3), jnp.float32, -1.0, 1.0)
+    full = hash_encode(table, x, spec)
+    for lmax in (1, 2, 3):   # below, at, and above the split
+        lod = np.asarray(hash_encode(table, x, spec, max_level=lmax))
+        np.testing.assert_allclose(lod[:, : 2 * lmax],
+                                   np.asarray(full[:, : 2 * lmax]),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(lod[:, 2 * lmax:], 0.0, atol=0)
+
+
+def test_field_with_mixed_impl_trains_a_step(rng_key):
+    from nerf_tpu.models import build_field
+    import optax
+    cfg = {"mode": "part2_instant", "n_levels": 5, "log2_hashmap_size": 12,
+           "base_resolution": 4, "per_level_scale": 2.0,
+           "hidden_dim": 16, "scene_bound": 1.5, "hash_impl": "mixed"}
+    field = build_field(cfg)
+    params = jax.jit(field.init)(rng_key)
+    pts = jax.random.uniform(rng_key, (128, 3), jnp.float32, -1.0, 1.0)
+    dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (128, 3))
+    tgt = jnp.zeros((128, 3))
+    tx = optax.adam(1e-2)
+    st = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(p):
+            rgb, _ = field.apply(p, pts, dirs)
+            return jnp.mean((rgb - tgt) ** 2)
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    p1, st, l0 = step(params, st)
+    p2, st, l1 = step(p1, st)
+    assert float(l1) < float(l0)

@@ -92,16 +92,26 @@ class HashGridSpec:
     # granularity, the granularity Instant-NGP's decoder is designed to
     # absorb). Splits the descriptor cost: 1 row-gather per coarse level,
     # 8 vertex gathers per fine level.
+    # "cell": brick rows for the dense coarse levels + 16-lane CELL rows
+    # (the 8 corners of one cell x F=2) for the hashed levels, hashed on
+    # the CELL coordinate. Collision granularity drops from 64 vertices
+    # (brick) to 8 (one cell) while keeping the brick impl's descriptor
+    # cost: exactly ONE row-gather per point-level. The trade is vertex
+    # duplication (each interior vertex lives in up to 8 cell rows whose
+    # copies drift -> every hashed-level cell face is a potential C0
+    # seam) and 8x storage per unique vertex; the brick@20 capacity A/B
+    # showed capacity is not the quality limiter, so this spends bytes to
+    # buy granularity at zero descriptor cost.
     impl: str = "brick"
 
     def __post_init__(self):
-        if self.impl not in ("brick", "exact", "mixed"):
+        if self.impl not in ("brick", "exact", "mixed", "cell"):
             raise ValueError(f"unknown hash impl: {self.impl}")
-        if self.impl in ("brick", "mixed") and self.n_features_per_level != 2:
+        if self.impl != "exact" and self.n_features_per_level != 2:
             raise NotImplementedError(
-                "brick rows are laid out for n_features_per_level=2 "
-                "(64 vertices x 2 = one 128-wide row); use impl='exact' "
-                "(cfg key hash_impl: exact) for other feature widths")
+                "brick/cell rows are laid out for n_features_per_level=2; "
+                "use impl='exact' (cfg key hash_impl: exact) for other "
+                "feature widths")
 
     @property
     def resolutions(self) -> Tuple[int, ...]:
@@ -202,6 +212,26 @@ class HashGridSpec:
         return (self.level_offsets[self.mixed_split] * _ROW_W
                 + self.mixed_vertex_offsets[-1] * self.n_features_per_level)
 
+    # ---- cell (brick coarse prefix + 16-lane cell-row fine suffix) -------
+    @property
+    def cell_rows_per_level(self) -> int:
+        """Hashed-level cell-row budget at byte parity with the other
+        layouts: 2^log2_hashmap_size vertices x F scalars per level /
+        (8 corners x F lanes per row) = 2^(log2_hashmap_size - 3) rows."""
+        return max(1 << (self.log2_hashmap_size - 3), 8)
+
+    @property
+    def cell_row_w(self) -> int:
+        return 8 * self.n_features_per_level
+
+    @property
+    def cell_n_params(self) -> int:
+        """Flat scalar count of the cell table: dense brick rows first,
+        then one hashed cell-row region per fine level."""
+        n_hashed = self.n_levels - self.mixed_split
+        return (self.level_offsets[self.mixed_split] * _ROW_W
+                + n_hashed * self.cell_rows_per_level * self.cell_row_w)
+
 
 def hash_grid_init(key: jax.Array, spec: HashGridSpec,
                    dtype=jnp.float32) -> jnp.ndarray:
@@ -218,6 +248,9 @@ def hash_grid_init(key: jax.Array, spec: HashGridSpec,
     if spec.impl == "mixed":
         return jax.random.uniform(
             key, (spec.mixed_n_params,), dtype, -1e-4, 1e-4)
+    if spec.impl == "cell":
+        return jax.random.uniform(
+            key, (spec.cell_n_params,), dtype, -1e-4, 1e-4)
     return jax.random.uniform(
         key, (spec.n_bricks, _ROW_W), dtype, -1e-4, 1e-4)
 
@@ -229,6 +262,8 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
         return hash_encode_exact(table, x, spec, max_level)
     if spec.impl == "mixed":
         return hash_encode_mixed(table, x, spec, max_level)
+    if spec.impl == "cell":
+        return hash_encode_cell(table, x, spec, max_level)
     return _hash_encode_brick(table, x, spec, max_level)
 
 
@@ -382,6 +417,79 @@ def hash_encode_mixed(table: jnp.ndarray, x: jnp.ndarray,
         feats.append(_encode_vertex_levels(
             vert_tab, x01, spec, levels,
             spec.mixed_vertex_offsets[:len(levels)]))
+    if lmax < spec.n_levels:
+        feats.append(jnp.zeros((n, (spec.n_levels - lmax) * f), jnp.float32))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def hash_encode_cell(table: jnp.ndarray, x: jnp.ndarray,
+                     spec: HashGridSpec, max_level: int | None = None
+                     ) -> jnp.ndarray:
+    """Cell layout: brick rows for the dense coarse prefix + one 16-lane
+    CELL row (8 corners x F=2) per hashed fine level, hashed on the cell
+    coordinate (Instant-NGP primes).
+
+    Brick-speed (ONE row-gather per point-level, same descriptor count as
+    impl='brick') with the collision unit shrunk from 64 vertices to 8 —
+    the middle rung of the granularity ladder brick(64) / cell(8) /
+    exact(1) that the layout A/B measures. Lane order within a row is
+    ((di*2 + dj)*2 + dk)*F + f, so the trilinear blend is three successive
+    static half-row lerps (no gathers, no one-hot masks).
+    """
+    split = spec.mixed_split
+    f = spec.n_features_per_level
+    n = x.shape[0]
+    n_brick_rows = spec.level_offsets[split]
+    brick_tab = table[: n_brick_rows * _ROW_W].reshape(n_brick_rows, _ROW_W)
+
+    lmax = spec.n_levels if max_level is None else min(max_level,
+                                                       spec.n_levels)
+    feats = []
+    n_brick_lvls = min(lmax, split)
+    if n_brick_lvls:
+        b = _hash_encode_brick(brick_tab, x, spec, max_level=n_brick_lvls)
+        feats.append(b[:, : n_brick_lvls * f])
+    if lmax > split:
+        xf = x.astype(jnp.float32)
+        x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
+        w = spec.cell_row_w
+        n_rows = spec.cell_rows_per_level
+        cell_tab = table[n_brick_rows * _ROW_W:].reshape(-1, w)
+
+        levels = list(range(split, lmax))
+        res_arr = jnp.asarray([spec.resolutions[l] for l in levels],
+                              jnp.float32)
+        off_arr = jnp.asarray(
+            [(l - split) * n_rows for l in levels], jnp.int32)
+
+        @jax.checkpoint
+        def _level(ro):
+            res, offset = ro
+            pos = x01 * (res - 1.0)
+            p0 = jnp.clip(jnp.floor(pos), 0.0, res - 2.0)
+            frac = pos - p0
+            c = p0.astype(jnp.uint32)                       # cell coord
+            row = ((c[:, 0] * np.uint32(_PRIMES[0]))
+                   ^ (c[:, 1] * np.uint32(_PRIMES[1]))
+                   ^ (c[:, 2] * np.uint32(_PRIMES[2]))) \
+                & np.uint32(n_rows - 1)
+            idx = row.astype(jnp.int32) + offset
+            rows = jnp.take(cell_tab, idx, axis=0, unique_indices=False,
+                            mode="clip").astype(jnp.float32)  # [N, 8F]
+            fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
+            h = 4 * f
+            v = rows[:, :h] * (1.0 - fx) + rows[:, h:] * fx   # [N, 4F]
+            h = 2 * f
+            v = v[:, :h] * (1.0 - fy) + v[:, h:] * fy         # [N, 2F]
+            v = v[:, :f] * (1.0 - fz) + v[:, f:] * fz         # [N, F]
+            return v.T                                        # [F, N]
+
+        # Remat + scan for the same reasons as the brick hashed levels:
+        # one compiled copy of the gather+lerp graph, recompute rows in
+        # the backward pass instead of saving [K, N, 16] residuals.
+        _, ys = jax.lax.scan(lambda _, ro: (None, _level(ro)), None,
+                             (res_arr, off_arr), unroll=True)
+        feats.append(ys.reshape(len(levels) * f, n).T)
     if lmax < spec.n_levels:
         feats.append(jnp.zeros((n, (spec.n_levels - lmax) * f), jnp.float32))
     return jnp.concatenate(feats, axis=-1)

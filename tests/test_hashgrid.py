@@ -384,3 +384,123 @@ def test_field_with_mixed_impl_trains_a_step(rng_key):
     p1, st, l0 = step(params, st)
     p2, st, l1 = step(p1, st)
     assert float(l1) < float(l0)
+
+
+# ---- cell layout (brick prefix + 16-lane hashed cell rows) ---------------
+
+def _cell_spec(**kw):
+    d = dict(n_levels=5, n_features_per_level=2, log2_hashmap_size=12,
+             base_resolution=4, per_level_scale=2.0, bound=1.0,
+             impl="cell")
+    d.update(kw)
+    return HashGridSpec(**d)
+
+
+def test_cell_param_layout():
+    from nerf_tpu.ops.hashgrid import _ROW_W
+    spec = _cell_spec()
+    assert spec.mixed_split == 2 and spec.cell_rows_per_level == 512
+    assert spec.cell_row_w == 16
+    assert spec.cell_n_params == (spec.level_offsets[2] * _ROW_W
+                                  + 3 * 512 * 16)
+
+
+def test_cell_prefix_matches_brick(rng_key):
+    import dataclasses
+    from nerf_tpu.ops.hashgrid import _ROW_W, _hash_encode_brick
+    spec = _cell_spec()
+    table = hash_grid_init(rng_key, spec)
+    split = spec.mixed_split
+    nrows = spec.level_offsets[split]
+    spec_b = dataclasses.replace(spec, impl="brick")
+    table_b = hash_grid_init(jax.random.PRNGKey(7), spec_b)
+    table_b = table_b.at[:nrows].set(
+        table[: nrows * _ROW_W].reshape(nrows, _ROW_W))
+    x = jax.random.uniform(rng_key, (128, 3), jnp.float32, -1.0, 1.0)
+    out_c = np.asarray(hash_encode(table, x, spec))
+    out_b = np.asarray(_hash_encode_brick(table_b, x, spec_b))
+    f = spec.n_features_per_level
+    np.testing.assert_array_equal(out_c[:, : split * f],
+                                  out_b[:, : split * f])
+
+
+def test_cell_hashed_levels_match_numpy_reference(rng_key):
+    """Independent numpy trilerp over hashed cell rows (hash on the CELL
+    coordinate, lane order ((di*2+dj)*2+dk)*F + f)."""
+    from nerf_tpu.ops.hashgrid import _ROW_W, _PRIMES
+    spec = _cell_spec()
+    table = hash_grid_init(rng_key, spec)
+    split = spec.mixed_split
+    f = spec.n_features_per_level
+    n_rows = spec.cell_rows_per_level
+    x = jax.random.uniform(rng_key, (64, 3), jnp.float32, -1.0, 1.0)
+    out = np.asarray(hash_encode(table, x, spec))
+
+    cells = np.asarray(table[spec.level_offsets[split] * _ROW_W:]
+                       ).reshape(-1, spec.cell_row_w)
+    x01 = np.clip((np.asarray(x) + 1.0) / 2.0, 0.0, 1.0)
+    for i, l in enumerate(range(split, spec.n_levels)):
+        res = spec.resolutions[l]
+        pos = x01 * (res - 1)
+        p0 = np.clip(np.floor(pos), 0, res - 2)
+        fr = (pos - p0).astype(np.float32)
+        c = p0.astype(np.uint32)
+        row = ((c[:, 0] * np.uint32(_PRIMES[0]))
+               ^ (c[:, 1] * np.uint32(_PRIMES[1]))
+               ^ (c[:, 2] * np.uint32(_PRIMES[2]))) & np.uint32(n_rows - 1)
+        rows = cells[row.astype(np.int64) + i * n_rows]     # [N, 16]
+        acc = np.zeros((64, f), np.float32)
+        for di in (0, 1):
+            for dj in (0, 1):
+                for dk in (0, 1):
+                    lane = ((di * 2 + dj) * 2 + dk) * f
+                    w = (np.where(di, fr[:, 0], 1 - fr[:, 0])
+                         * np.where(dj, fr[:, 1], 1 - fr[:, 1])
+                         * np.where(dk, fr[:, 2], 1 - fr[:, 2]))
+                    acc += w[:, None] * rows[:, lane: lane + f]
+        np.testing.assert_allclose(out[:, 2 * l: 2 * l + 2], acc,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_cell_grads_and_max_level(rng_key):
+    from nerf_tpu.ops.hashgrid import _ROW_W
+    spec = _cell_spec()
+    table = hash_grid_init(rng_key, spec)
+    x = jax.random.uniform(rng_key, (64, 3), jnp.float32, -0.9, 0.9)
+    g = jax.grad(lambda t: jnp.sum(hash_encode(t, x, spec) ** 2))(table)
+    cut = spec.level_offsets[spec.mixed_split] * _ROW_W
+    assert float(jnp.sum(jnp.abs(g[:cut]))) > 0.0
+    assert float(jnp.sum(jnp.abs(g[cut:]))) > 0.0
+    full = np.asarray(hash_encode(table, x, spec))
+    lod = np.asarray(hash_encode(table, x, spec, max_level=3))
+    np.testing.assert_allclose(lod[:, :6], full[:, :6], rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_allclose(lod[:, 6:], 0.0, atol=0)
+
+
+def test_field_with_cell_impl_trains_a_step(rng_key):
+    from nerf_tpu.models import build_field
+    import optax
+    cfg = {"mode": "part2_instant", "n_levels": 5, "log2_hashmap_size": 12,
+           "base_resolution": 4, "per_level_scale": 2.0,
+           "hidden_dim": 16, "scene_bound": 1.5, "hash_impl": "cell"}
+    field = build_field(cfg)
+    params = jax.jit(field.init)(rng_key)
+    pts = jax.random.uniform(rng_key, (128, 3), jnp.float32, -1.0, 1.0)
+    dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (128, 3))
+    tgt = jnp.zeros((128, 3))
+    tx = optax.adam(1e-2)
+    st = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(p):
+            rgb, _ = field.apply(p, pts, dirs)
+            return jnp.mean((rgb - tgt) ** 2)
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    p1, st, l0 = step(params, st)
+    p2, st, l1 = step(p1, st)
+    assert float(l1) < float(l0)

@@ -175,17 +175,9 @@ fi
 # The eval runs off best_model.pth so it still lands if training hit its
 # timeout after the last val checkpoint.
 scene dyn_proxy
-job part4_scale 7200 python run.py --config configs/r4/part4_scale.yaml \
-  --data_dir data_scenes/dyn_proxy
-if [ -f output/part4_r4/dyn_proxy/best_model.pth ]; then
-  job part4_scale_eval 3600 python run.py \
-    --config configs/r4/part4_scale.yaml \
-    --data_dir data_scenes/dyn_proxy --eval_only --render_n -1 \
-    --checkpoint output/part4_r4/dyn_proxy/best_model.pth
-fi
-# Exact-layout part4: the CPU layout A/B (output/ab_cpu/SUMMARY.md) has
-# exact leading brick by 3.2 dB at equal param count — worth chip time
-# on the hardest quality gate without waiting for the chip A/B (P7).
+# Exact-layout part4 FIRST: the CPU layout A/B (output/ab_cpu/SUMMARY.md)
+# has exact leading brick by 3.2 dB at equal param count — the quality
+# candidate gets the first chip slot on the hardest quality gate.
 job part4_exact 10800 python run.py \
   --config configs/r4/part4_exact.yaml --data_dir data_scenes/dyn_proxy
 if [ -f output/part4_exact_r4/dyn_proxy/best_model.pth ]; then
@@ -193,6 +185,14 @@ if [ -f output/part4_exact_r4/dyn_proxy/best_model.pth ]; then
     --config configs/r4/part4_exact.yaml \
     --data_dir data_scenes/dyn_proxy --eval_only --render_n -1 \
     --checkpoint output/part4_exact_r4/dyn_proxy/best_model.pth
+fi
+job part4_scale 7200 python run.py --config configs/r4/part4_scale.yaml \
+  --data_dir data_scenes/dyn_proxy
+if [ -f output/part4_r4/dyn_proxy/best_model.pth ]; then
+  job part4_scale_eval 3600 python run.py \
+    --config configs/r4/part4_scale.yaml \
+    --data_dir data_scenes/dyn_proxy --eval_only --render_n -1 \
+    --checkpoint output/part4_r4/dyn_proxy/best_model.pth
 fi
 
 # ---- P2b: render sweep tail (same artifact) ------------------------------
@@ -243,6 +243,15 @@ job part1_photo 2400 python run.py --config configs/r4/part1_photo.yaml \
 job ab_brick 2400 python run.py --config configs/r4/p2i_brick.yaml \
   --data_dir data_scenes/lego_proxy
 job ab_exact 3600 python run.py --config configs/r4/p2i_exact.yaml \
+  --data_dir data_scenes/lego_proxy
+# Round-5 rungs of the collision-granularity ladder (same recipe/seed):
+# mixed = exact's per-vertex hashing on the fine levels only; cell =
+# brick's one-row-gather descriptor cost at 8-vertex granularity. Their
+# wall-clock lines give the chip step-time of each layout — the missing
+# half of the flip decision (quality half: output/ab_cpu/SUMMARY.md).
+job ab_mixed 3600 python run.py --config configs/r5/p2i_mixed.yaml \
+  --data_dir data_scenes/lego_proxy
+job ab_cell 2700 python run.py --config configs/r5/p2i_cell.yaml \
   --data_dir data_scenes/lego_proxy
 
 # ---- P8: exact-layout rerun of the part-3i gate ---------------------------

@@ -155,7 +155,13 @@ for arm in mixed cell; do
     --data_dir data_scenes/lego_proxy
 done
 
-# ---- 3: p3i 1k-step probe at the recipe lr (exact layout: the known
+# ---- 3: part-1 on a genuinely hard target (VERDICT r4 weak item 7):
+# real natural photograph, max dim 512, 2-point L_embed sweep ----------
+job part1_photo_hd 7200 python run.py \
+  --config configs/r5/part1_photo_hd.yaml \
+  --image data_scenes/photo/grace_hopper.jpg
+
+# ---- 4: p3i 1k-step probe at the recipe lr (exact layout: the known
 # quality arm and the FASTEST layout on CPU — 5 s/step vs brick's 56) ----
 if [ ! -e "$OUT/p3i_probe.done" ]; then
   python3 - <<'EOF'

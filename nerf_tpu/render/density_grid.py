@@ -115,7 +115,8 @@ def make_grid_updater(field_apply, spec: DensityGridSpec, needs_time: bool,
                       chunk: int = 2 ** 18) -> Callable:
     """Build a jitted grid-update fn.
 
-    update(params, state, times, decay) -> (new_state, active_ratio)
+    update(params, state, times, decay, prune=False)
+        -> (new_state, active_ratio)
 
     * static models: times ignored, grid overwritten
       (reference: src/renderer.py:105-125).
@@ -123,19 +124,34 @@ def make_grid_updater(field_apply, spec: DensityGridSpec, needs_time: bool,
       grid = max(grid * decay, current) — the time-union with optional decay
       (reference: src/renderer.py:65-123). Part 4's three-anchor sweep is the
       caller passing times=[0, 0.5, 1] (reference: src/renderer.py:66).
+    * prune (traced bool): REBUILD the grid from the current union instead
+      of max-ing with history. The reference's permanent-memory union
+      (decay=1.0) means every cell the half-trained early field ever
+      marked stays active forever; its part-4 loop therefore re-prunes
+      every 500 steps ("avoid skip-rate collapse", reference:
+      run.py:1979-1984 — the call crashes on kwargs DensityGrid.update
+      lacks, but the intent is explicit). Measured here on the round-3
+      part-4 checkpoint: the accumulated training grid is 99.0%% active
+      while a fresh rebuild from the SAME weights is 16.3%% active — the
+      permanent memory is almost entirely stale early-training noise,
+      which both disables empty-space skipping and flattens the
+      occupancy-CDF sample placement this framework (unlike the
+      reference's pure masking) relies on.
     """
     centers = jnp.asarray(_grid_centers(spec))
     r = spec.resolution
 
     @partial(jax.jit, static_argnames=())
-    def update(params, state, times, decay):
+    def update(params, state, times, decay, prune=False):
         if needs_time:
             def at_time(t):
                 return _query_density(field_apply, params, centers, t,
                                       True, chunk)
             sig = jax.lax.map(at_time, times)      # [K, R^3]
             current = jnp.max(sig, axis=0).reshape(r, r, r)
-            grid = jnp.maximum(state["grid"] * decay, current)
+            grid = jnp.where(jnp.asarray(prune),
+                             current,
+                             jnp.maximum(state["grid"] * decay, current))
         else:
             current = _query_density(field_apply, params, centers, 0.0,
                                      False, chunk).reshape(r, r, r)

@@ -115,6 +115,18 @@ def run_part3(cfg: dict, args) -> None:
             active_ratio = float(jnp.mean(
                 grid_state["binary"].astype(jnp.float32)))
         print(f">>> Loaded checkpoint: {args.checkpoint}")
+        if args.eval_only and grid_state is not None \
+                and cfg.get("eval_rebuild_grid", True):
+            # Same rationale as part4: a permanent-memory grid from an
+            # old checkpoint flattens the eval-time occupancy-CDF
+            # placement; rebuild it from the trained field over a dense
+            # time union. Opt out with eval_rebuild_grid: false.
+            grid_state, ar = grid_update(
+                params, grid_state, jnp.linspace(0.0, 1.0, 16), 1.0,
+                jnp.asarray(True))
+            active_ratio = float(ar)
+            print(f">>> eval grid rebuilt from the trained field: "
+                  f"{active_ratio * 100:.1f}% active")
 
     fixed_bg = (jnp.ones((3,), jnp.float32) if white_bkgd
                 else jnp.zeros((3,), jnp.float32))
@@ -155,6 +167,10 @@ def run_part3(cfg: dict, args) -> None:
         unsup_weight = cfg.get("unsup_consistency_weight", 0.001)
         unsup_n = min(cfg.get("unsup_n_samples", 512), 512)
         grid_warmup_iters = cfg.get("grid_warmup_iters", 256)
+        # Periodic grid re-prune; 0 (default) = reference-parity permanent
+        # union. See the update call below for why the at-scale recipes
+        # set this.
+        prune_every = int(cfg.get("grid_prune_every", 0))
         val_every = cfg.get("val_every", 500)
         budget_mode = cfg.get("train_budget_mode", "first")
 
@@ -347,8 +363,21 @@ def run_part3(cfg: dict, args) -> None:
                 if should_update(step, interval, grid_warmup_iters):
                     n_t = 16 if step < 1000 else 8
                     sweep = jnp.linspace(time_min, time_max, n_t)
+                    # Optional periodic re-prune (grid_prune_every: N).
+                    # The reference's part 3 keeps the permanent union
+                    # (run.py:1202-1220, decay=1.0, no prune) and can
+                    # afford it: its renderer only MASKS samples. This
+                    # framework's budgeted occupancy-CDF placement also
+                    # *places* samples by the grid, so stale all-active
+                    # memory flattens placement (part-4 measured 99%
+                    # active vs 16% fresh, density_grid.py). Default off
+                    # for reference parity; the at-scale recipes opt in.
+                    prune = bool(prune_every
+                                 and step % prune_every < interval
+                                 and step > grid_warmup_iters)
                     grid_state, ar = grid_update(params, grid_state,
-                                                 sweep, 1.0)
+                                                 sweep, 1.0,
+                                                 jnp.asarray(prune))
                     active_ratio = float(ar)
 
             if step % log_every == 0:

@@ -318,6 +318,21 @@ def run_part4(cfg: dict, args) -> None:
             active_ratio = float(jnp.mean(
                 grid_state["binary"].astype(jnp.float32)))
         print(f">>> Loaded checkpoint: {args.checkpoint}")
+        if args.eval_only and grid_state is not None \
+                and cfg.get("eval_rebuild_grid", True):
+            # Checkpoints saved before the periodic re-prune landed carry
+            # a permanent-memory grid that is mostly stale early-training
+            # noise (r3 ckpt: 99% active vs 16% from a fresh rebuild of
+            # the same weights) — it flattens the eval-time occupancy-CDF
+            # placement. Rebuild from the trained field over a dense time
+            # union (a superset of the anchor sweep, so nothing reachable
+            # is masked). Opt out with eval_rebuild_grid: false.
+            grid_state, ar = grid_update(
+                params, grid_state, jnp.linspace(0.0, 1.0, 16), 1.0,
+                jnp.asarray(True))
+            active_ratio = float(ar)
+            print(f">>> eval grid rebuilt from the trained field: "
+                  f"{active_ratio * 100:.1f}% active")
 
     fixed_bg = (jnp.ones((3,), jnp.float32) if white_bkgd
                 else jnp.zeros((3,), jnp.float32))
@@ -358,6 +373,8 @@ def run_part4(cfg: dict, args) -> None:
         static_anchor_weight = cfg.get("static_anchor_weight", 0.01)
         grid_warmup_iters = cfg.get("grid_warmup_iters", 256)
         grid_stop_ratio = cfg.get("grid_stop_ratio", 0.9)
+        # Reference default: re-prune every 500 steps (run.py:1979).
+        prune_every = int(cfg.get("grid_prune_every", 500))
         val_every = cfg.get("val_every", 500)
 
         data = train_set.ray_data
@@ -457,8 +474,19 @@ def run_part4(cfg: dict, args) -> None:
                     and step < train_iters * grid_stop_ratio):
                 interval = staged_interval(step, train_iters, (16, 64, 256))
                 if should_update(step, interval, grid_warmup_iters):
+                    # Periodic re-prune (reference intent: run.py:1979-1984
+                    # "avoid skip-rate collapse"): rebuild from the current
+                    # field instead of union-ing with permanent memory.
+                    # Without it the r3 at-scale run sat at 99% active for
+                    # all 5k steps while its trained field separates to 16%
+                    # (density_grid.py docstring) — no skipping, flat CDF
+                    # placement. grid_prune_every: 0 opts out.
+                    prune = bool(prune_every
+                                 and step % prune_every < interval
+                                 and step > grid_warmup_iters)
                     grid_state, ar = grid_update(params, grid_state,
-                                                 anchor_times, 1.0)
+                                                 anchor_times, 1.0,
+                                                 jnp.asarray(prune))
                     active_ratio = float(ar)
 
             if step % log_every == 0:

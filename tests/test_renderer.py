@@ -102,3 +102,41 @@ def test_density_grid_update_finds_density(rng_key):
                             jnp.asarray([[0.0, 0.0, 0.0], [0.9, 0.9, 0.9]]),
                             spec)
     np.testing.assert_array_equal(np.asarray(mask), [True, False])
+
+
+def test_density_grid_prune_drops_stale_memory(rng_key):
+    """decay=1.0 union keeps every cell the field EVER marked (reference
+    parity, src/renderer.py:123); prune=True rebuilds from the current
+    field only (reference part-4 intent, run.py:1979-1984)."""
+    from nerf_tpu.render.density_grid import (DensityGridSpec,
+                                              density_grid_init,
+                                              make_grid_updater)
+
+    class MovingField:
+        needs_time = True
+
+        @staticmethod
+        def apply(params, x, d, t=None, train=False, rng=None):
+            # dense ball centered at (c, 0, 0), c = params["c"]
+            cen = jnp.asarray([params["c"], 0.0, 0.0])
+            inside = (jnp.linalg.norm(x - cen, axis=-1, keepdims=True)
+                      < 0.4).astype(jnp.float32)
+            return jnp.zeros((x.shape[0], 3)), inside * 10.0, None
+
+    spec = DensityGridSpec(resolution=16, bound=1.0, threshold=0.01)
+    update = make_grid_updater(MovingField.apply, spec, needs_time=True,
+                               chunk=512)
+    times = jnp.zeros((1,))
+    # Ball at x=-0.5, then the "trained" field moves it to x=+0.5.
+    state, ar0 = update({"c": -0.5}, density_grid_init(spec), times, 1.0)
+    state_union, ar_union = update({"c": +0.5}, state, times, 1.0)
+    state_prune, ar_prune = update({"c": +0.5}, state, times, 1.0,
+                                   jnp.asarray(True))
+    # Permanent memory keeps both ball positions active; prune keeps one.
+    assert float(ar_union) > 1.7 * float(ar0)
+    np.testing.assert_allclose(float(ar_prune), float(ar0), atol=0.01)
+    # The pruned grid no longer marks the stale position.
+    from nerf_tpu.render.density_grid import grid_active_mask
+    stale = jnp.asarray([[-0.5, 0.0, 0.0]])
+    assert bool(grid_active_mask(state_union["binary"], stale, spec)[0])
+    assert not bool(grid_active_mask(state_prune["binary"], stale, spec)[0])

@@ -102,10 +102,16 @@ class HashGridSpec:
     # seam) and 8x storage per unique vertex; the brick@20 capacity A/B
     # showed capacity is not the quality limiter, so this spends bytes to
     # buy granularity at zero descriptor cost.
+    # "vcell": per-vertex DENSE coarse prefix (seam-free, duplication-free
+    # — the round-5 mixed arm showed the brick prefix's seams alone cost
+    # ~2 dB) + the cell rows of "cell" for the hashed fine levels. The
+    # descriptor budget at the reference config is ~44/point (4 dense
+    # levels x 8 vertex gathers + 12 hashed levels x 1 row) vs brick 16 /
+    # exact 128; the dense-level gathers hit small fast-zone tables.
     impl: str = "brick"
 
     def __post_init__(self):
-        if self.impl not in ("brick", "exact", "mixed", "cell"):
+        if self.impl not in ("brick", "exact", "mixed", "cell", "vcell"):
             raise ValueError(f"unknown hash impl: {self.impl}")
         if self.impl != "exact" and self.n_features_per_level != 2:
             raise NotImplementedError(
@@ -232,6 +238,28 @@ class HashGridSpec:
         return (self.level_offsets[self.mixed_split] * _ROW_W
                 + n_hashed * self.cell_rows_per_level * self.cell_row_w)
 
+    # ---- vcell (per-vertex dense prefix + cell-row fine suffix) ----------
+    @property
+    def vcell_dense_sizes(self) -> Tuple[int, ...]:
+        """Per-vertex entries for the seam-free dense prefix. Every
+        brick-dense level satisfies res^3 < 2^log2_hashmap_size (its
+        brick grid fits 2^(log2-6) rows), so these always index direct."""
+        return tuple(self.resolutions[l] ** 3
+                     for l in range(self.mixed_split))
+
+    @property
+    def vcell_dense_offsets(self) -> Tuple[int, ...]:
+        offs = [0]
+        for s in self.vcell_dense_sizes:
+            offs.append(offs[-1] + s)
+        return tuple(offs)
+
+    @property
+    def vcell_n_params(self) -> int:
+        n_hashed = self.n_levels - self.mixed_split
+        return (self.vcell_dense_offsets[-1] * self.n_features_per_level
+                + n_hashed * self.cell_rows_per_level * self.cell_row_w)
+
 
 def hash_grid_init(key: jax.Array, spec: HashGridSpec,
                    dtype=jnp.float32) -> jnp.ndarray:
@@ -251,6 +279,9 @@ def hash_grid_init(key: jax.Array, spec: HashGridSpec,
     if spec.impl == "cell":
         return jax.random.uniform(
             key, (spec.cell_n_params,), dtype, -1e-4, 1e-4)
+    if spec.impl == "vcell":
+        return jax.random.uniform(
+            key, (spec.vcell_n_params,), dtype, -1e-4, 1e-4)
     return jax.random.uniform(
         key, (spec.n_bricks, _ROW_W), dtype, -1e-4, 1e-4)
 
@@ -264,6 +295,8 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
         return hash_encode_mixed(table, x, spec, max_level)
     if spec.impl == "cell":
         return hash_encode_cell(table, x, spec, max_level)
+    if spec.impl == "vcell":
+        return hash_encode_vcell(table, x, spec, max_level)
     return _hash_encode_brick(table, x, spec, max_level)
 
 
@@ -452,44 +485,93 @@ def hash_encode_cell(table: jnp.ndarray, x: jnp.ndarray,
     if lmax > split:
         xf = x.astype(jnp.float32)
         x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
-        w = spec.cell_row_w
-        n_rows = spec.cell_rows_per_level
-        cell_tab = table[n_brick_rows * _ROW_W:].reshape(-1, w)
+        cell_tab = table[n_brick_rows * _ROW_W:].reshape(-1, spec.cell_row_w)
+        feats.append(_encode_cell_levels(cell_tab, x01, spec,
+                                         list(range(split, lmax))))
+    if lmax < spec.n_levels:
+        feats.append(jnp.zeros((n, (spec.n_levels - lmax) * f), jnp.float32))
+    return jnp.concatenate(feats, axis=-1)
 
-        levels = list(range(split, lmax))
-        res_arr = jnp.asarray([spec.resolutions[l] for l in levels],
-                              jnp.float32)
-        off_arr = jnp.asarray(
-            [(l - split) * n_rows for l in levels], jnp.int32)
 
-        @jax.checkpoint
-        def _level(ro):
-            res, offset = ro
-            pos = x01 * (res - 1.0)
-            p0 = jnp.clip(jnp.floor(pos), 0.0, res - 2.0)
-            frac = pos - p0
-            c = p0.astype(jnp.uint32)                       # cell coord
-            row = ((c[:, 0] * np.uint32(_PRIMES[0]))
-                   ^ (c[:, 1] * np.uint32(_PRIMES[1]))
-                   ^ (c[:, 2] * np.uint32(_PRIMES[2]))) \
-                & np.uint32(n_rows - 1)
-            idx = row.astype(jnp.int32) + offset
-            rows = jnp.take(cell_tab, idx, axis=0, unique_indices=False,
-                            mode="clip").astype(jnp.float32)  # [N, 8F]
-            fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
-            h = 4 * f
-            v = rows[:, :h] * (1.0 - fx) + rows[:, h:] * fx   # [N, 4F]
-            h = 2 * f
-            v = v[:, :h] * (1.0 - fy) + v[:, h:] * fy         # [N, 2F]
-            v = v[:, :f] * (1.0 - fz) + v[:, f:] * fz         # [N, F]
-            return v.T                                        # [F, N]
+def _encode_cell_levels(cell_tab: jnp.ndarray, x01: jnp.ndarray,
+                        spec: HashGridSpec, levels) -> jnp.ndarray:
+    """Hashed 16-lane cell-row features for `levels` (all hashed on the
+    CELL coordinate; every brick-hashed level has (res-1)^3 well above
+    the row budget). `cell_tab` is [(len(levels)*rows), 8F], one region
+    per level in `levels` order. Shared by the cell and vcell layouts.
+    Returns [N, len(levels)*F], level-major."""
+    n = x01.shape[0]
+    f = spec.n_features_per_level
+    n_rows = spec.cell_rows_per_level
+    base = levels[0]
+    res_arr = jnp.asarray([spec.resolutions[l] for l in levels],
+                          jnp.float32)
+    off_arr = jnp.asarray([(l - base) * n_rows for l in levels], jnp.int32)
 
-        # Remat + scan for the same reasons as the brick hashed levels:
-        # one compiled copy of the gather+lerp graph, recompute rows in
-        # the backward pass instead of saving [K, N, 16] residuals.
-        _, ys = jax.lax.scan(lambda _, ro: (None, _level(ro)), None,
-                             (res_arr, off_arr), unroll=True)
-        feats.append(ys.reshape(len(levels) * f, n).T)
+    @jax.checkpoint
+    def _level(ro):
+        res, offset = ro
+        pos = x01 * (res - 1.0)
+        p0 = jnp.clip(jnp.floor(pos), 0.0, res - 2.0)
+        frac = pos - p0
+        c = p0.astype(jnp.uint32)                       # cell coord
+        row = ((c[:, 0] * np.uint32(_PRIMES[0]))
+               ^ (c[:, 1] * np.uint32(_PRIMES[1]))
+               ^ (c[:, 2] * np.uint32(_PRIMES[2]))) \
+            & np.uint32(n_rows - 1)
+        idx = row.astype(jnp.int32) + offset
+        rows = jnp.take(cell_tab, idx, axis=0, unique_indices=False,
+                        mode="clip").astype(jnp.float32)  # [N, 8F]
+        fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
+        h = 4 * f
+        v = rows[:, :h] * (1.0 - fx) + rows[:, h:] * fx   # [N, 4F]
+        h = 2 * f
+        v = v[:, :h] * (1.0 - fy) + v[:, h:] * fy         # [N, 2F]
+        v = v[:, :f] * (1.0 - fz) + v[:, f:] * fz         # [N, F]
+        return v.T                                        # [F, N]
+
+    # Remat + scan for the same reasons as the brick hashed levels:
+    # one compiled copy of the gather+lerp graph, recompute rows in
+    # the backward pass instead of saving [K, N, 16] residuals.
+    _, ys = jax.lax.scan(lambda _, ro: (None, _level(ro)), None,
+                         (res_arr, off_arr), unroll=True)
+    return ys.reshape(len(levels) * f, n).T
+
+
+def hash_encode_vcell(table: jnp.ndarray, x: jnp.ndarray,
+                      spec: HashGridSpec, max_level: int | None = None
+                      ) -> jnp.ndarray:
+    """vcell layout: per-vertex DENSE coarse prefix + hashed cell rows.
+
+    The round-5 part2i A/B decomposed the brick layout's quality deficit:
+    the mixed arm (brick dense prefix + exact hashed levels) recovered
+    only ~1 dB of exact's +3.2 dB over brick — so ~2 dB is the dense
+    prefix's SEAMS (duplicated brick-edge vertices drifting apart), not
+    the hashed-level collisions. This layout removes the seams (dense
+    levels store each vertex once, direct 8-gather trilerp — exactly the
+    exact impl's dense path) and keeps the hashed levels on 16-lane cell
+    rows (one descriptor per level, 8-vertex collision granularity).
+    """
+    split = spec.mixed_split
+    f = spec.n_features_per_level
+    n = x.shape[0]
+    xf = x.astype(jnp.float32)
+    x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
+    n_dense = spec.vcell_dense_offsets[-1]
+
+    lmax = spec.n_levels if max_level is None else min(max_level,
+                                                       spec.n_levels)
+    feats = []
+    n_dense_lvls = min(lmax, split)
+    if n_dense_lvls:
+        vert_tab = table[: n_dense * f].reshape(n_dense, f)
+        feats.append(_encode_vertex_levels(
+            vert_tab, x01, spec, list(range(n_dense_lvls)),
+            spec.vcell_dense_offsets[:n_dense_lvls]))
+    if lmax > split:
+        cell_tab = table[n_dense * f:].reshape(-1, spec.cell_row_w)
+        feats.append(_encode_cell_levels(cell_tab, x01, spec,
+                                         list(range(split, lmax))))
     if lmax < spec.n_levels:
         feats.append(jnp.zeros((n, (spec.n_levels - lmax) * f), jnp.float32))
     return jnp.concatenate(feats, axis=-1)

@@ -504,3 +504,107 @@ def test_field_with_cell_impl_trains_a_step(rng_key):
     p1, st, l0 = step(params, st)
     p2, st, l1 = step(p1, st)
     assert float(l1) < float(l0)
+
+
+# ---- vcell layout (per-vertex dense prefix + hashed cell rows) -----------
+
+def _vcell_spec(**kw):
+    d = dict(n_levels=5, n_features_per_level=2, log2_hashmap_size=12,
+             base_resolution=4, per_level_scale=2.0, bound=1.0,
+             impl="vcell")
+    d.update(kw)
+    return HashGridSpec(**d)
+
+
+def test_vcell_param_layout():
+    spec = _vcell_spec()
+    assert spec.mixed_split == 2
+    assert spec.vcell_dense_sizes == (64, 512)   # 4^3, 8^3
+    assert spec.vcell_n_params == (64 + 512) * 2 + 3 * 512 * 16
+
+
+def test_vcell_dense_prefix_matches_exact(rng_key):
+    """The dense prefix is the exact layout's dense path: same indexing,
+    same trilerp — equal features given equal vertex values."""
+    import dataclasses
+    spec = _vcell_spec()
+    table = hash_grid_init(rng_key, spec)
+    split = spec.mixed_split
+    f = spec.n_features_per_level
+    nd = spec.vcell_dense_offsets[-1]
+    dense = np.asarray(table[: nd * f]).reshape(nd, f)
+
+    spec_e = dataclasses.replace(spec, impl="exact")
+    tab_e = np.zeros((spec_e.level_vertex_offsets[-1], f), np.float32)
+    offs_e = spec_e.level_vertex_offsets
+    offs_v = spec.vcell_dense_offsets
+    for l in range(split):
+        nvl = spec.vcell_dense_sizes[l]
+        assert spec_e.level_vertices[l] == nvl
+        tab_e[offs_e[l]: offs_e[l] + nvl] = dense[offs_v[l]: offs_v[l] + nvl]
+
+    x = jax.random.uniform(rng_key, (96, 3), jnp.float32, -1.0, 1.0)
+    out_v = np.asarray(hash_encode(table, x, spec))
+    out_e = np.asarray(hash_encode(jnp.asarray(tab_e), x, spec_e))
+    np.testing.assert_allclose(out_v[:, : split * f],
+                               out_e[:, : split * f], rtol=1e-6, atol=1e-7)
+
+
+def test_vcell_hashed_suffix_matches_cell(rng_key):
+    """The hashed suffix is the cell layout's: equal features given equal
+    cell-row values."""
+    import dataclasses
+    from nerf_tpu.ops.hashgrid import _ROW_W
+    spec = _vcell_spec()
+    table = hash_grid_init(rng_key, spec)
+    split = spec.mixed_split
+    f = spec.n_features_per_level
+    nd = spec.vcell_dense_offsets[-1]
+    cells = table[nd * f:]
+
+    spec_c = dataclasses.replace(spec, impl="cell")
+    tab_c = hash_grid_init(jax.random.PRNGKey(3), spec_c)
+    cut = spec_c.level_offsets[split] * _ROW_W
+    tab_c = tab_c.at[cut:].set(cells)
+
+    x = jax.random.uniform(rng_key, (96, 3), jnp.float32, -1.0, 1.0)
+    out_v = np.asarray(hash_encode(table, x, spec))
+    out_c = np.asarray(hash_encode(tab_c, x, spec_c))
+    np.testing.assert_array_equal(out_v[:, split * f:],
+                                  out_c[:, split * f:])
+
+
+def test_vcell_grads_and_field_step(rng_key):
+    from nerf_tpu.models import build_field
+    import optax
+    spec = _vcell_spec()
+    table = hash_grid_init(rng_key, spec)
+    x = jax.random.uniform(rng_key, (64, 3), jnp.float32, -0.9, 0.9)
+    g = jax.grad(lambda t: jnp.sum(hash_encode(t, x, spec) ** 2))(table)
+    cut = spec.vcell_dense_offsets[-1] * spec.n_features_per_level
+    assert float(jnp.sum(jnp.abs(g[:cut]))) > 0.0
+    assert float(jnp.sum(jnp.abs(g[cut:]))) > 0.0
+
+    cfg = {"mode": "part2_instant", "n_levels": 5, "log2_hashmap_size": 12,
+           "base_resolution": 4, "per_level_scale": 2.0,
+           "hidden_dim": 16, "scene_bound": 1.5, "hash_impl": "vcell"}
+    field = build_field(cfg)
+    params = jax.jit(field.init)(rng_key)
+    pts = jax.random.uniform(rng_key, (128, 3), jnp.float32, -1.0, 1.0)
+    dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (128, 3))
+    tgt = jnp.zeros((128, 3))
+    tx = optax.adam(1e-2)
+    st = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(p):
+            rgb, _ = field.apply(p, pts, dirs)
+            return jnp.mean((rgb - tgt) ** 2)
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    p1, st, l0 = step(params, st)
+    p2, st, l1 = step(p1, st)
+    assert float(l1) < float(l0)

@@ -253,6 +253,12 @@ job ab_mixed 3600 python run.py --config configs/r5/p2i_mixed.yaml \
   --data_dir data_scenes/lego_proxy
 job ab_cell 2700 python run.py --config configs/r5/p2i_cell.yaml \
   --data_dir data_scenes/lego_proxy
+# vcell: seam-free per-vertex dense prefix + hashed cell rows — the
+# layout the round-5 CPU decomposition predicts wins quality at ~1/3 of
+# exact's descriptor cost (brick 20.11 / mixed 21.20 / exact 23.31; the
+# 2.1 dB mixed-vs-exact gap is the brick dense prefix's seams).
+job ab_vcell 3000 python run.py --config configs/r5/p2i_vcell.yaml \
+  --data_dir data_scenes/lego_proxy
 
 # ---- P8: exact-layout rerun of the part-3i gate ---------------------------
 # part4_exact moved up to P2 (the CPU A/B signal was decisive at 3.2 dB).

@@ -87,9 +87,13 @@ def _hash_spec_from_cfg(cfg: dict, prefix: str = "",
                         default_bound: float = 1.0) -> HashGridSpec:
     g = lambda k, d: cfg.get(prefix + k, d)
     n_feats = g("n_features_per_level", 2)
-    # brick rows require F=2; other widths (a valid reference config,
-    # reference: src/embeddings.py:46) fall back to the exact layout.
-    impl = cfg.get("hash_impl", "brick" if n_feats == 2 else "exact")
+    # Default flipped brick -> exact in round 5 per the committed decision
+    # rule (AB_RESULTS.md "Default-flip decision rule"): the CPU ladder
+    # measured exact +3.2 dB over brick at equal params (23.31 vs 20.11
+    # test), and neither cell (18.99) nor mixed (21.20) lands within
+    # 0.3 dB of exact. Speed-gate configs pin `hash_impl: brick`
+    # explicitly (configs/r4/p2i_gate*.yaml) and are unaffected.
+    impl = cfg.get("hash_impl", "exact")
     return HashGridSpec(
         n_levels=g("n_levels", 16),
         n_features_per_level=n_feats,
@@ -338,7 +342,7 @@ def _build_part4(cfg: dict) -> Field:
         base_resolution=cfg.get("deform_base_resolution", 16),
         per_level_scale=cfg.get("deform_per_level_scale", 1.5),
         bound=cfg.get("scene_bound", 1.5),
-        impl=cfg.get("hash_impl", "brick" if deform_feats == 2 else "exact"),
+        impl=cfg.get("hash_impl", "exact"),
     )
     canon_spec = _hash_spec_from_cfg(cfg, default_bound=1.5)
 

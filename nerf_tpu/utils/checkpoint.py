@@ -22,6 +22,13 @@ def _to_numpy(tree):
 def save_checkpoint(path: str, model_params, config: dict, step: int = 0,
                     val_psnr: float = 0.0, density_grid=None,
                     extra: dict | None = None) -> None:
+    # Stamp the resolved hash layout so a later load rebuilds the field
+    # with the SAME table layout even if the package default changes
+    # again (the round-5 brick->exact default flip made unstamped
+    # configs ambiguous). Missing key here means the field was built
+    # with the current default.
+    if config.get("mode") != "part1" and "hash_impl" not in config:
+        config = {**config, "hash_impl": "exact"}
     ckpt = {
         "model_state_dict": _to_numpy(model_params),
         "config": config,
@@ -38,4 +45,16 @@ def save_checkpoint(path: str, model_params, config: dict, step: int = 0,
 
 def load_checkpoint(path: str) -> dict:
     with open(path, "rb") as f:
-        return pickle.load(f)
+        ckpt = pickle.load(f)
+    # Back-compat: checkpoints saved before the round-5 default flip
+    # carry no `hash_impl` key; they were trained under the legacy
+    # default (brick rows when F==2). Rebuilding them with today's
+    # default would mis-shape the tables, so pin the legacy layout.
+    cfg = ckpt.get("config")
+    if isinstance(cfg, dict) and cfg.get("mode") != "part1" \
+            and "hash_impl" not in cfg:
+        n_feats = cfg.get("n_features_per_level", 2)
+        ckpt["config"] = {
+            **cfg, "hash_impl": "brick" if n_feats == 2 else "exact",
+        }
+    return ckpt

@@ -129,6 +129,17 @@ job() {  # job NAME TIMEOUT CMD...
   done
 }
 
+# ---- 0: wait for the stage-3 runner to release the single core -----------
+# ab3 (if alive) is finishing part1_photo_hd + p3i_probe; its p4cell tail
+# is skipped via pre-created .done markers (the part-4 layout question is
+# settled). AB3_PID may be passed by the launcher; default to the known
+# round-5 supervisor pid.
+AB3_PID="${AB3_PID:-30640}"
+while kill -0 "$AB3_PID" 2>/dev/null; do
+  echo "[ab4] $(date -u +%H:%M:%S) waiting for ab3 (pid $AB3_PID)"
+  sleep 120
+done
+
 # ---- 1: full test suite (uncontended slot) -------------------------------
 job pytest_full 7200 python -m pytest tests/ -q
 

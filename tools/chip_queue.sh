@@ -260,31 +260,12 @@ job ab_cell 2700 python run.py --config configs/r5/p2i_cell.yaml \
 job ab_vcell 3000 python run.py --config configs/r5/p2i_vcell.yaml \
   --data_dir data_scenes/lego_proxy
 
-# ---- P8: exact-layout rerun of the part-3i gate ---------------------------
-# part4_exact moved up to P2 (the CPU A/B signal was decisive at 3.2 dB).
-# The 20k-step p3i exact rerun is the longest job in the queue, so it
-# still waits for the chip A/B to confirm the flip on chip; if the chip
-# A/B did not run, the committed CPU A/B (output/ab_cpu) decides.
-pb=""; pe=""
-if [ -e "$QL/ab_exact.done" ] && [ -e "$QL/ab_brick.done" ]; then
-  pb=$(grep -oE "test PSNR: [0-9.]+" "$QL/ab_brick.log" \
-       | grep -oE "[0-9.]+$" | tail -1)
-  pe=$(grep -oE "test PSNR: [0-9.]+" "$QL/ab_exact.log" \
-       | grep -oE "[0-9.]+$" | tail -1)
-elif [ -f output/ab_cpu/brick.log ] && [ -f output/ab_cpu/exact.log ]; then
-  pb=$(grep -oE "test PSNR: [0-9.]+" output/ab_cpu/brick.log \
-       | grep -oE "[0-9.]+$" | tail -1)
-  pe=$(grep -oE "test PSNR: [0-9.]+" output/ab_cpu/exact.log \
-       | grep -oE "[0-9.]+$" | tail -1)
-fi
-if python3 -c "import sys; sys.exit(0 if float('${pe:-0}') > float('${pb:-99}') + 0.3 else 1)"; then
-  echo "[queue] layout A/B: exact $pe dB > brick $pb dB + 0.3 -> p3i exact rerun"
-  job p3i_exact 21600 python run.py \
-    --config configs/r4/p3i_scale_exact.yaml \
-    --data_dir data_scenes/dyn_proxy --render_n 20
-else
-  echo "[queue] layout A/B: exact ${pe:-?} vs brick ${pb:-?} dB — no flip"
-fi
+# ---- P8: (retired) exact-layout rerun of the part-3i gate -----------------
+# The default flip landed in round 5 (AB_RESULTS.md decision rule: the
+# full CPU ladder came in brick 20.11 / cell 18.99 / mixed 21.20 /
+# exact 23.31, so the package default and configs/r4/p3i_scale.yaml are
+# now `hash_impl: exact`) — the P3 p3i_scale job IS the exact arm and a
+# separate rerun here would duplicate it.
 
 # ---- P9: diagnostics tail (ungraded; after every graded row) -------------
 job profile_block_k24 1800 python -u tools/profile_block.py --k1 24 --k2 8

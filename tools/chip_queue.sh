@@ -168,6 +168,18 @@ if [ -e "$QL/p2i_gate2.done" ] && [ ! -e "$QL/p2i_gate_nc.done" ]; then
   fi
 fi
 
+# ---- P1b: brick/exact chip A/B (step-time half of the flip) ------------
+# Moved ahead of the long exact-layout jobs: the default flipped to
+# exact on CPU quality evidence, but exact costs 8x the gather/scatter
+# descriptors per point-level on chip — these 2k-step arms (~30-60 min
+# each) bound that step-time cost BEFORE the 5k/20k exact runs below
+# spend hours on it, and their wall-clock lines are the flip decision's
+# missing half (AB_RESULTS.md).
+job ab_brick 2400 python run.py --config configs/r4/p2i_brick.yaml \
+  --data_dir data_scenes/lego_proxy
+job ab_exact 3600 python run.py --config configs/r4/p2i_exact.yaml \
+  --data_dir data_scenes/lego_proxy
+
 # ---- P2: part 4 at scale (anchor-times fix landed r3) ------------------
 # The part-3/part-4 recipes defer the test pass to --eval_only
 # (reference parity: run.py:2121-2160), so each training job is followed
@@ -213,8 +225,19 @@ job profile_block     1800 python -u tools/profile_block.py
 # ---- P3: part 3 flagship (instant, 20k) --------------------------------
 # --render_n 20 routes the post-train eval into the full-test dense PSNR
 # pass (render_n -1 would render the orbit video INSTEAD of the metric).
-job p3i_scale 10800 python run.py --config configs/r4/p3i_scale.yaml \
+# 21600 s: the exact layout's backward scatter-adds may cost up to ~4x
+# brick's step time on chip; 20k steps must not die at a 3h timeout.
+job p3i_scale 21600 python run.py --config configs/r4/p3i_scale.yaml \
   --data_dir data_scenes/dyn_proxy --render_n 20
+# salvage eval: if training timed out after its last val checkpoint,
+# the in-job test pass never ran — record the metric off best_model.pth.
+if [ -f output/part3_instant_r4/dyn_proxy/best_model.pth ] \
+    && [ ! -e "$QL/p3i_scale.done" ]; then
+  job p3i_salvage_eval 3600 python run.py \
+    --config configs/r4/p3i_scale.yaml \
+    --data_dir data_scenes/dyn_proxy --eval_only --render_n 20 \
+    --checkpoint output/part3_instant_r4/dyn_proxy/best_model.pth
+fi
 
 # ---- P4: part 2 vanilla golden number ----------------------------------
 job p2_20k 3600 python run.py --config configs/r4/p2_20k.yaml \
@@ -239,11 +262,8 @@ job part3_dtc 7200 python run.py --config configs/r4/part3_dtc_scale.yaml \
 job part1_photo 2400 python run.py --config configs/r4/part1_photo.yaml \
   --image data_scenes/lego_proxy/test/r_0.png
 
-# ---- P7: exact-vs-brick hash layout A/B (2k each, same seed/scene) ------
-job ab_brick 2400 python run.py --config configs/r4/p2i_brick.yaml \
-  --data_dir data_scenes/lego_proxy
-job ab_exact 3600 python run.py --config configs/r4/p2i_exact.yaml \
-  --data_dir data_scenes/lego_proxy
+# ---- P7: remaining hash-layout ladder rungs (2k each, same seed/scene) --
+# (ab_brick/ab_exact moved up to P1b — they gate the long exact runs.)
 # Round-5 rungs of the collision-granularity ladder (same recipe/seed):
 # mixed = exact's per-vertex hashing on the fine levels only; cell =
 # brick's one-row-gather descriptor cost at 8-vertex granularity. Their

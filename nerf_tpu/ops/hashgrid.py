@@ -108,10 +108,21 @@ class HashGridSpec:
     # descriptor budget at the reference config is ~44/point (4 dense
     # levels x 8 vertex gathers + 12 hashed levels x 1 row) vs brick 16 /
     # exact 128; the dense-level gathers hit small fast-zone tables.
+    # "vbrick": per-vertex DENSE coarse prefix + the BRICK rows of "brick"
+    # for the hashed fine levels. Same ~44-descriptor budget as vcell
+    # (the hashed half is still one row-gather per level) but the hashed
+    # collision unit stays 64 vertices — which the round-5 CPU ladder
+    # measured as the BETTER half of the cell trade (cell 18.99 dB lost
+    # 1.1 dB to brick 20.11 at fixed table bytes: 8x row duplication
+    # costs more coverage than 8-vertex granularity buys). Predicted
+    # ~22.2 dB by additivity (brick 20.11 + the 2.1 dB seam recovery
+    # measured between mixed and exact); strictly dominates vcell if the
+    # axes compose.
     impl: str = "brick"
 
     def __post_init__(self):
-        if self.impl not in ("brick", "exact", "mixed", "cell", "vcell"):
+        if self.impl not in ("brick", "exact", "mixed", "cell", "vcell",
+                             "vbrick"):
             raise ValueError(f"unknown hash impl: {self.impl}")
         if self.impl != "exact" and self.n_features_per_level != 2:
             raise NotImplementedError(
@@ -260,6 +271,16 @@ class HashGridSpec:
         return (self.vcell_dense_offsets[-1] * self.n_features_per_level
                 + n_hashed * self.cell_rows_per_level * self.cell_row_w)
 
+    # ---- vbrick (per-vertex dense prefix + brick-row fine suffix) --------
+    @property
+    def vbrick_n_params(self) -> int:
+        """Flat scalar count: the seam-free per-vertex dense region first,
+        then one max_bricks x 128 brick-row region per hashed level (the
+        same rows impl='brick' stores for those levels)."""
+        n_hashed = self.n_levels - self.mixed_split
+        return (self.vcell_dense_offsets[-1] * self.n_features_per_level
+                + n_hashed * self.max_bricks * _ROW_W)
+
 
 def hash_grid_init(key: jax.Array, spec: HashGridSpec,
                    dtype=jnp.float32) -> jnp.ndarray:
@@ -282,6 +303,9 @@ def hash_grid_init(key: jax.Array, spec: HashGridSpec,
     if spec.impl == "vcell":
         return jax.random.uniform(
             key, (spec.vcell_n_params,), dtype, -1e-4, 1e-4)
+    if spec.impl == "vbrick":
+        return jax.random.uniform(
+            key, (spec.vbrick_n_params,), dtype, -1e-4, 1e-4)
     return jax.random.uniform(
         key, (spec.n_bricks, _ROW_W), dtype, -1e-4, 1e-4)
 
@@ -297,6 +321,8 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
         return hash_encode_cell(table, x, spec, max_level)
     if spec.impl == "vcell":
         return hash_encode_vcell(table, x, spec, max_level)
+    if spec.impl == "vbrick":
+        return hash_encode_vbrick(table, x, spec, max_level)
     return _hash_encode_brick(table, x, spec, max_level)
 
 
@@ -577,6 +603,130 @@ def hash_encode_vcell(table: jnp.ndarray, x: jnp.ndarray,
     return jnp.concatenate(feats, axis=-1)
 
 
+def hash_encode_vbrick(table: jnp.ndarray, x: jnp.ndarray,
+                       spec: HashGridSpec, max_level: int | None = None
+                       ) -> jnp.ndarray:
+    """vbrick layout: per-vertex DENSE coarse prefix + hashed brick rows.
+
+    The fourth rung completing the 2x3 layout matrix ({brick|vertex}
+    dense prefix x {brick|cell|exact} hashed levels): the seam-free
+    per-vertex prefix of vcell/exact + the 128-lane brick rows of
+    impl='brick' for the hashed levels (bit-identical math and rows to
+    the brick impl there). Same descriptor budget as vcell (~44/point
+    at the reference config) but the hashed collision unit stays 64
+    vertices, which the round-5 CPU ladder measured as the better half
+    of the cell trade (cell's 8x row duplication cost 1.1 dB of
+    coverage). This is the speed-oriented quality candidate if the chip
+    A/B vetoes exact's 128-descriptor step time.
+    """
+    split = spec.mixed_split
+    f = spec.n_features_per_level
+    n = x.shape[0]
+    xf = x.astype(jnp.float32)
+    x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
+    n_dense = spec.vcell_dense_offsets[-1]
+
+    lmax = spec.n_levels if max_level is None else min(max_level,
+                                                       spec.n_levels)
+    feats = []
+    n_dense_lvls = min(lmax, split)
+    if n_dense_lvls:
+        vert_tab = table[: n_dense * f].reshape(n_dense, f)
+        feats.append(_encode_vertex_levels(
+            vert_tab, x01, spec, list(range(n_dense_lvls)),
+            spec.vcell_dense_offsets[:n_dense_lvls]))
+    if lmax > split:
+        brick_tab = table[n_dense * f:].reshape(-1, _ROW_W)
+        levels = list(range(split, lmax))
+        offsets = [(l - split) * spec.max_bricks for l in levels]
+        feats.append(_encode_brick_hashed_levels(
+            brick_tab, x01, spec, levels, offsets, spec.max_bricks))
+    if lmax < spec.n_levels:
+        feats.append(jnp.zeros((n, (spec.n_levels - lmax) * f), jnp.float32))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def _brick_row_trilerp(rows: jnp.ndarray, q: jnp.ndarray,
+                       frac: jnp.ndarray) -> jnp.ndarray:
+    """Factorized trilinear extraction in lane space. Row lane layout is
+    ((i*4 + j)*4 + k)*2 + f, so lane>>5 = i, (lane>>3)&3 = j,
+    (lane>>1)&3 = k. Each axis is contracted with a 2-tap mask
+    ((plane == q)*(1-frac) + (plane == q+1)*frac) followed by a fold of
+    the 4 strided segments -- all static lane slices, no gathers."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _ROW_W), 1)
+    fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
+    qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
+
+    plane_i = lane >> 5                                  # [1, 128]
+    mx = ((plane_i == qx) * (1.0 - fx) + (plane_i == qx + 1) * fx)
+    v = rows * mx                                        # [N, 128]
+    y = v[:, 0:32] + v[:, 32:64] + v[:, 64:96] + v[:, 96:128]
+
+    plane_j = lane[:, 0:32] >> 3
+    my = ((plane_j == qy) * (1.0 - fy) + (plane_j == qy + 1) * fy)
+    v = y * my
+    y = v[:, 0:8] + v[:, 8:16] + v[:, 16:24] + v[:, 24:32]
+
+    plane_k = lane[:, 0:8] >> 1
+    mz = ((plane_k == qz) * (1.0 - fz) + (plane_k == qz + 1) * fz)
+    v = y * mz
+    return v[:, 0:2] + v[:, 2:4] + v[:, 4:6] + v[:, 6:8]  # [N, 2]
+
+
+def _brick_cell_coords(x01: jnp.ndarray, res):
+    """p0 (cell origin), brick coords, local q, frac -- res may be a
+    traced scalar (the hashed-level scan) or a Python int."""
+    resf = jnp.asarray(res, jnp.float32)
+    pos = x01 * (resf - 1.0)
+    p0 = jnp.clip(jnp.floor(pos), 0.0, resf - 2.0)
+    frac = pos - p0
+    p0 = p0.astype(jnp.int32)
+    brick = p0 // _BRICK_C
+    q = p0 - brick * _BRICK_C
+    return brick, q, frac
+
+
+def _encode_brick_hashed_levels(table: jnp.ndarray, x01: jnp.ndarray,
+                                spec: HashGridSpec, levels, offsets,
+                                n_rows: int) -> jnp.ndarray:
+    """Hashed 128-lane brick-row features for `levels` (brick-coordinate
+    spatial hash, Instant-NGP primes). `table` is a [*, 128] row table
+    holding one n_rows region per level at `offsets` (aligned with
+    `levels`). Shared by the brick layout (hashed suffix of its single
+    table) and the vbrick layout (hashed region of its flat table).
+    Returns [N, len(levels)*F], level-major.
+    """
+    n = x01.shape[0]
+    res_arr = jnp.asarray([spec.resolutions[l] for l in levels],
+                          jnp.float32)
+    off_arr = jnp.asarray(list(offsets), jnp.int32)
+
+    @jax.checkpoint
+    def _level(ro):
+        res, offset = ro
+        brick, q, frac = _brick_cell_coords(x01, res)
+        b = brick.astype(jnp.uint32)
+        row = ((b[:, 0] * np.uint32(_PRIMES[0]))
+               ^ (b[:, 1] * np.uint32(_PRIMES[1]))
+               ^ (b[:, 2] * np.uint32(_PRIMES[2]))) \
+            & np.uint32(n_rows - 1)
+        idx = row.astype(jnp.int32) + offset
+        rows = jnp.take(table, idx, axis=0, unique_indices=False,
+                        mode="clip").astype(jnp.float32)
+        # Emit [F, N] so the scan stack [K, F, N] keeps N minor
+        # (a [K, N, F] stack would be lane-padded 64x).
+        return _brick_row_trilerp(rows, q, frac).T
+
+    def body(_, ro):
+        # Remat: recomputing the row-gather in the backward pass is far
+        # cheaper than saving [K, N, 128] row residuals (5+ GB at 1M pts).
+        return None, _level(ro)
+
+    _, ys = jax.lax.scan(body, None, (res_arr, off_arr),
+                         unroll=True)                       # [K, F, N]
+    return ys.reshape(len(levels) * spec.n_features_per_level, n).T
+
+
 def _hash_encode_brick(table: jnp.ndarray, x: jnp.ndarray,
                        spec: HashGridSpec, max_level: int | None = None
                        ) -> jnp.ndarray:
@@ -598,44 +748,6 @@ def _hash_encode_brick(table: jnp.ndarray, x: jnp.ndarray,
     xf = x.astype(jnp.float32)
     x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _ROW_W), 1)
-
-    def level_feats(rows, q, frac):
-        """Factorized trilinear extraction in lane space. Row lane layout is
-        ((i*4 + j)*4 + k)*2 + f, so lane>>5 = i, (lane>>3)&3 = j,
-        (lane>>1)&3 = k. Each axis is contracted with a 2-tap mask
-        ((plane == q)*(1-frac) + (plane == q+1)*frac) followed by a fold of
-        the 4 strided segments -- all static lane slices, no gathers."""
-        fx, fy, fz = frac[:, 0:1], frac[:, 1:2], frac[:, 2:3]
-        qx, qy, qz = q[:, 0:1], q[:, 1:2], q[:, 2:3]
-
-        plane_i = lane >> 5                                  # [1, 128]
-        mx = ((plane_i == qx) * (1.0 - fx) + (plane_i == qx + 1) * fx)
-        v = rows * mx                                        # [N, 128]
-        y = v[:, 0:32] + v[:, 32:64] + v[:, 64:96] + v[:, 96:128]
-
-        plane_j = lane[:, 0:32] >> 3
-        my = ((plane_j == qy) * (1.0 - fy) + (plane_j == qy + 1) * fy)
-        v = y * my
-        y = v[:, 0:8] + v[:, 8:16] + v[:, 16:24] + v[:, 24:32]
-
-        plane_k = lane[:, 0:8] >> 1
-        mz = ((plane_k == qz) * (1.0 - fz) + (plane_k == qz + 1) * fz)
-        v = y * mz
-        return v[:, 0:2] + v[:, 2:4] + v[:, 4:6] + v[:, 6:8]  # [N, 2]
-
-    def cell_coords(res):
-        """p0 (cell origin), brick coords, local q, frac -- res may be a
-        traced scalar (the hashed-level scan) or a Python int."""
-        resf = jnp.asarray(res, jnp.float32)
-        pos = x01 * (resf - 1.0)
-        p0 = jnp.clip(jnp.floor(pos), 0.0, resf - 2.0)
-        frac = pos - p0
-        p0 = p0.astype(jnp.int32)
-        brick = p0 // _BRICK_C
-        q = p0 - brick * _BRICK_C
-        return brick, q, frac
-
     # Levels whose full brick grid fits the budget are unrolled (their
     # shapes all differ); the hashed levels share one table shape and one
     # hash formula, so they run as a lax.scan over (res, offset) -- this
@@ -654,48 +766,21 @@ def _hash_encode_brick(table: jnp.ndarray, x: jnp.ndarray,
     for lvl in dense_lvls:
         res = spec.resolutions[lvl]
         nb = spec.bricks_per_axis[lvl]
-        brick, q, frac = cell_coords(res)
+        brick, q, frac = _brick_cell_coords(x01, res)
         b = brick.astype(jnp.uint32)
         row = b[:, 0] + b[:, 1] * np.uint32(nb) \
             + b[:, 2] * np.uint32(nb * nb)
         idx = row.astype(jnp.int32) + spec.level_offsets[lvl]
         rows = jnp.take(table, idx, axis=0, unique_indices=False,
                         mode="clip").astype(jnp.float32)
-        feats.append(level_feats(rows, q, frac))
+        feats.append(_brick_row_trilerp(rows, q, frac))
 
     if hashed_lvls:
         n_rows = spec.level_bricks[hashed_lvls[0]]
         assert all(spec.level_bricks[l] == n_rows for l in hashed_lvls)
-        res_arr = jnp.asarray([spec.resolutions[l] for l in hashed_lvls],
-                              jnp.float32)
-        off_arr = jnp.asarray([spec.level_offsets[l] for l in hashed_lvls],
-                              jnp.int32)
-
-        @jax.checkpoint
-        def _level(ro):
-            res, offset = ro
-            brick, q, frac = cell_coords(res)
-            b = brick.astype(jnp.uint32)
-            row = ((b[:, 0] * np.uint32(_PRIMES[0]))
-                   ^ (b[:, 1] * np.uint32(_PRIMES[1]))
-                   ^ (b[:, 2] * np.uint32(_PRIMES[2]))) \
-                & np.uint32(n_rows - 1)
-            idx = row.astype(jnp.int32) + offset
-            rows = jnp.take(table, idx, axis=0, unique_indices=False,
-                            mode="clip").astype(jnp.float32)
-            # Emit [F, N] so the scan stack [K, F, N] keeps N minor
-            # (a [K, N, F] stack would be lane-padded 64x).
-            return level_feats(rows, q, frac).T
-
-        def body(_, ro):
-            # Remat: recomputing the row-gather in the backward pass is far
-            # cheaper than saving [K, N, 128] row residuals (5+ GB at 1M pts).
-            return None, _level(ro)
-
-        _, ys = jax.lax.scan(body, None, (res_arr, off_arr),
-                            unroll=True)                       # [K, F, N]
-        k = len(hashed_lvls)
-        feats.append(ys.reshape(k * spec.n_features_per_level, n).T)
+        feats.append(_encode_brick_hashed_levels(
+            table, x01, spec, hashed_lvls,
+            [spec.level_offsets[l] for l in hashed_lvls], n_rows))
 
     if lmax < spec.n_levels:
         feats.append(jnp.zeros(

@@ -608,3 +608,121 @@ def test_vcell_grads_and_field_step(rng_key):
     p1, st, l0 = step(params, st)
     p2, st, l1 = step(p1, st)
     assert float(l1) < float(l0)
+
+
+# ---- vbrick layout (per-vertex dense prefix + hashed brick rows) ---------
+
+def _vbrick_spec(**kw):
+    d = dict(n_levels=5, n_features_per_level=2, log2_hashmap_size=12,
+             base_resolution=4, per_level_scale=2.0, bound=1.0,
+             impl="vbrick")
+    d.update(kw)
+    return HashGridSpec(**d)
+
+
+def test_vbrick_param_layout():
+    spec = _vbrick_spec()
+    assert spec.mixed_split == 2
+    assert spec.vcell_dense_sizes == (64, 512)   # 4^3, 8^3
+    # 3 hashed levels x max_bricks(= 2^(12-6)) brick rows x 128 lanes
+    assert spec.vbrick_n_params == (64 + 512) * 2 + 3 * 64 * 128
+
+
+def test_vbrick_dense_prefix_matches_exact(rng_key):
+    """The dense prefix is the exact layout's dense path: same indexing,
+    same trilerp — equal features given equal vertex values."""
+    import dataclasses
+    spec = _vbrick_spec()
+    table = hash_grid_init(rng_key, spec)
+    split = spec.mixed_split
+    f = spec.n_features_per_level
+    nd = spec.vcell_dense_offsets[-1]
+    dense = np.asarray(table[: nd * f]).reshape(nd, f)
+
+    spec_e = dataclasses.replace(spec, impl="exact")
+    tab_e = np.zeros((spec_e.level_vertex_offsets[-1], f), np.float32)
+    offs_e = spec_e.level_vertex_offsets
+    offs_v = spec.vcell_dense_offsets
+    for l in range(split):
+        nvl = spec.vcell_dense_sizes[l]
+        assert spec_e.level_vertices[l] == nvl
+        tab_e[offs_e[l]: offs_e[l] + nvl] = dense[offs_v[l]: offs_v[l] + nvl]
+
+    x = jax.random.uniform(rng_key, (96, 3), jnp.float32, -1.0, 1.0)
+    out_v = np.asarray(hash_encode(table, x, spec))
+    out_e = np.asarray(hash_encode(jnp.asarray(tab_e), x, spec_e))
+    np.testing.assert_allclose(out_v[:, : split * f],
+                               out_e[:, : split * f], rtol=1e-6, atol=1e-7)
+
+
+def test_vbrick_hashed_suffix_matches_brick(rng_key):
+    """The hashed suffix is BIT-IDENTICAL to the brick layout's hashed
+    levels given equal row values (same hash, same rows, same factorized
+    lane trilerp)."""
+    import dataclasses
+    from nerf_tpu.ops.hashgrid import _ROW_W
+    spec = _vbrick_spec()
+    table = hash_grid_init(rng_key, spec)
+    split = spec.mixed_split
+    f = spec.n_features_per_level
+    nd = spec.vcell_dense_offsets[-1]
+    rows = table[nd * f:].reshape(-1, _ROW_W)
+
+    spec_b = dataclasses.replace(spec, impl="brick")
+    tab_b = hash_grid_init(jax.random.PRNGKey(3), spec_b)
+    n0 = spec_b.level_offsets[split]
+    assert tab_b.shape[0] - n0 == rows.shape[0]
+    tab_b = tab_b.at[n0:].set(rows)
+
+    x = jax.random.uniform(rng_key, (96, 3), jnp.float32, -1.0, 1.0)
+    out_v = np.asarray(hash_encode(table, x, spec))
+    out_b = np.asarray(hash_encode(tab_b, x, spec_b))
+    np.testing.assert_array_equal(out_v[:, split * f:],
+                                  out_b[:, split * f:])
+
+
+def test_vbrick_max_level_zero_fills(rng_key):
+    spec = _vbrick_spec()
+    table = hash_grid_init(rng_key, spec)
+    f = spec.n_features_per_level
+    x = jax.random.uniform(rng_key, (32, 3), jnp.float32, -1.0, 1.0)
+    full = np.asarray(hash_encode(table, x, spec))
+    lod = np.asarray(hash_encode(table, x, spec, max_level=3))
+    np.testing.assert_array_equal(lod[:, : 3 * f], full[:, : 3 * f])
+    assert np.all(lod[:, 3 * f:] == 0.0)
+
+
+def test_vbrick_grads_and_field_step(rng_key):
+    from nerf_tpu.models import build_field
+    import optax
+    spec = _vbrick_spec()
+    table = hash_grid_init(rng_key, spec)
+    x = jax.random.uniform(rng_key, (64, 3), jnp.float32, -0.9, 0.9)
+    g = jax.grad(lambda t: jnp.sum(hash_encode(t, x, spec) ** 2))(table)
+    cut = spec.vcell_dense_offsets[-1] * spec.n_features_per_level
+    assert float(jnp.sum(jnp.abs(g[:cut]))) > 0.0
+    assert float(jnp.sum(jnp.abs(g[cut:]))) > 0.0
+
+    cfg = {"mode": "part2_instant", "n_levels": 5, "log2_hashmap_size": 12,
+           "base_resolution": 4, "per_level_scale": 2.0,
+           "hidden_dim": 16, "scene_bound": 1.5, "hash_impl": "vbrick"}
+    field = build_field(cfg)
+    params = jax.jit(field.init)(rng_key)
+    pts = jax.random.uniform(rng_key, (128, 3), jnp.float32, -1.0, 1.0)
+    dirs = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (128, 3))
+    tgt = jnp.zeros((128, 3))
+    tx = optax.adam(1e-2)
+    st = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        def loss(p):
+            rgb, _ = field.apply(p, pts, dirs)
+            return jnp.mean((rgb - tgt) ** 2)
+        l, g = jax.value_and_grad(loss)(p)
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s, l
+
+    p1, st, l0 = step(params, st)
+    p2, st, l1 = step(p1, st)
+    assert float(l1) < float(l0)

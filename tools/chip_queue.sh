@@ -279,6 +279,12 @@ job ab_cell 2700 python run.py --config configs/r5/p2i_cell.yaml \
 # 2.1 dB mixed-vs-exact gap is the brick dense prefix's seams).
 job ab_vcell 3000 python run.py --config configs/r5/p2i_vcell.yaml \
   --data_dir data_scenes/lego_proxy
+# vbrick: the 2x3 matrix's last rung — seam-free vertex dense prefix +
+# hashed BRICK rows (vcell's descriptor budget, brick's 64-vertex hashed
+# granularity, which beat cell's by 1.1 dB on CPU). The speed-oriented
+# quality candidate if exact's chip step time vetoes the new default.
+job ab_vbrick 3000 python run.py --config configs/r5/p2i_vbrick.yaml \
+  --data_dir data_scenes/lego_proxy
 
 # ---- P8: (retired) exact-layout rerun of the part-3i gate -----------------
 # The default flip landed in round 5 (AB_RESULTS.md decision rule: the

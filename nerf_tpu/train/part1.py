@@ -135,7 +135,19 @@ def run_part1(cfg: dict, args) -> None:
             field = build_field(config)
             key = jax.random.PRNGKey(cfg.get("seed", 0) + run_idx)
             params = jax.jit(field.init)(key)
-            tx = optax.adam(learning_rate)
+            # Reference parity is plain constant-lr Adam (reference:
+            # run.py:168). `lr_schedule: cosine` opts into the cosine
+            # decay the reference's own parts 2-4 use (run.py:550) —
+            # on long photo fits the decayed tail recovers the last
+            # ~1-2 dB that constant lr leaves oscillating.
+            if cfg.get("lr_schedule", "constant") == "cosine":
+                sched = optax.cosine_decay_schedule(
+                    learning_rate, epochs,
+                    alpha=cfg.get("eta_min", learning_rate * 0.01)
+                    / learning_rate)
+                tx = optax.adam(sched)
+            else:
+                tx = optax.adam(learning_rate)
             opt_state = tx.init(params)
 
             @jax.jit

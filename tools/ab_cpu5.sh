@@ -1,10 +1,16 @@
 #!/bin/bash
-# CPU queue, stage 5 (round 5). One job: the vbrick part2i quality arm —
-# the 2x3 layout matrix's last rung (seam-free per-vertex dense prefix +
-# hashed 128-lane brick rows; vcell's ~44-descriptor budget with brick's
-# 64-vertex hashed granularity, which beat cell's 8-vertex rows by
-# 1.1 dB). Runs after the stage-4 queue (tools/ab_cpu4.sh) exits; same
-# protocol, marker, summarize and commit conventions as ab4.
+# CPU queue, stage 5 (round 5). Two jobs, in grading-value order:
+#   1. part1_photo_hd2 — the 35 dB-class natural-photo arm: the H256
+#      constant-lr sweep plateaued at 31.66/31.30 dB (L
+#      insensitive => capacity/optimization-limited), so this arm
+#      scales width to H512 and opts into the new cosine decay at
+#      8000 steps (single L=10 point).
+#   2. p2i_vbrick — the 2x3 layout matrix's last rung (seam-free
+#      per-vertex dense prefix + hashed 128-lane brick rows; vcell's
+#      ~44-descriptor budget with brick's 64-vertex hashed granularity,
+#      which beat cell's 8-vertex rows by 1.1 dB).
+# Runs after the stage-4 queue (tools/ab_cpu4.sh) exits; same protocol,
+# marker, summarize and commit conventions as ab4.
 #
 # Usage: AB4_PID=<pid> setsid nohup bash tools/ab_cpu5.sh > /tmp/ab_cpu5.log 2>&1 &
 set -u
@@ -89,6 +95,41 @@ job() {  # job NAME TIMEOUT CMD...
   done
 }
 
+# ---- 1: part-1 natural photo, capacity-scaled + cosine decay -------------
+if [ ! -f configs/r5/part1_photo_hd2.yaml ]; then
+  cat > configs/r5/part1_photo_hd2.yaml <<'EOF'
+# Round-5 part-1 35 dB-class arm: the H256 constant-lr sweep measured
+# 31.66 (L=10) / 31.30 (L=15) on grace_hopper 512x600 — L-insensitive,
+# so the limiter is capacity/optimization, not encoding bandwidth.
+# This arm doubles width and adds the cosine tail at 2x steps.
+mode: part1_fourier
+use_positional_encoding: true
+L_embed:
+- 10
+hidden_dim: 512
+num_layers: 4
+output_dim: 3
+epochs: 8000
+learning_rate: 0.001
+lr_schedule: cosine
+batch_size: 16384
+image_size: 512
+log_dir: output/part1_photo_hd2
+save_every: 4000
+log_every: 800
+EOF
+fi
+job part1_photo_hd2 18000 python run.py \
+  --config configs/r5/part1_photo_hd2.yaml \
+  --image data_scenes/photo/grace_hopper.jpg
+for _ in 1 2 3; do
+  git add configs/r5/part1_photo_hd2.yaml output/part1_photo_hd2 \
+    output/part1_photo_hd 2>/dev/null \
+    && git commit -q -m "CPU queue r5: part-1 photo arms evidence" && break
+  sleep 5
+done
+
+# ---- 2: vbrick part2i arm -------------------------------------------------
 # The EXACT round-4/5 ab_cpu recipe + hash_impl (mirrors ab4's mk_p2i).
 cat > "$AB/vbrick.yaml" <<EOF
 mode: part2_instant

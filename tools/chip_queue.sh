@@ -245,7 +245,7 @@ job p2_20k 3600 python run.py --config configs/r4/p2_20k.yaml \
 
 # ---- P5: part 4 second scene + part 3 standard/DTC ---------------------
 scene dyn_gentle
-job part4_gentle 7200 python run.py --config configs/r4/part4_gentle.yaml \
+job part4_gentle 10800 python run.py --config configs/r4/part4_gentle.yaml \
   --data_dir data_scenes/dyn_gentle
 if [ -f output/part4_gentle_r4/dyn_gentle/best_model.pth ]; then
   job part4_gentle_eval 3600 python run.py \
@@ -253,9 +253,9 @@ if [ -f output/part4_gentle_r4/dyn_gentle/best_model.pth ]; then
     --data_dir data_scenes/dyn_gentle --eval_only --render_n -1 \
     --checkpoint output/part4_gentle_r4/dyn_gentle/best_model.pth
 fi
-job part3_std 7200 python run.py --config configs/r4/part3_scale.yaml \
+job part3_std 14400 python run.py --config configs/r4/part3_scale.yaml \
   --data_dir data_scenes/dyn_proxy --render_n 20
-job part3_dtc 7200 python run.py --config configs/r4/part3_dtc_scale.yaml \
+job part3_dtc 14400 python run.py --config configs/r4/part3_dtc_scale.yaml \
   --data_dir data_scenes/dyn_proxy --render_n 20
 
 # ---- P6: part 1 photo-scale fit ----------------------------------------

@@ -159,11 +159,31 @@ def main():
     from nerf_tpu.render.rays import orbit_poses
 
     H = W = int(os.environ.get("BENCH_HW", 800))   # debug override
-    ckpt_path = os.environ.get(
-        "BENCH_CKPT", "output/part2_instant_r3/lego_proxy/best_model.pth")
-    ckpt_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ckpt_path) if not os.path.isabs(ckpt_path) \
-        else ckpt_path
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    # Checkpoint + sample counts: output/bench_defaults.json (written by
+    # tools/pick_bench_k.py from the measured FPS x quality sweep)
+    # overrides code defaults; explicit env vars override both.
+    picked = {}
+    defaults_path = os.path.join(root, "output", "bench_defaults.json")
+    if os.path.exists(defaults_path):
+        try:
+            with open(defaults_path) as f:
+                picked = json.load(f)
+        except (OSError, ValueError):
+            picked = {}
+
+    ckpt_path = os.environ.get("BENCH_CKPT") or picked.get("ckpt") \
+        or "output/part2_instant_r3/lego_proxy/best_model.pth"
+    ckpt_path = os.path.join(root, ckpt_path) \
+        if not os.path.isabs(ckpt_path) else ckpt_path
+    if not os.path.exists(ckpt_path):
+        # A picked ckpt that has vanished must not silently degrade the
+        # measurement to random weights: fall back to the r3 artifact.
+        fallback = os.path.join(
+            root, "output/part2_instant_r3/lego_proxy/best_model.pth")
+        if os.path.exists(fallback):
+            ckpt_path = fallback
 
     if os.path.exists(ckpt_path):
         from nerf_tpu.utils.checkpoint import load_checkpoint
@@ -200,21 +220,12 @@ def main():
     far = float(cfg.get("far", 6.0))
 
     mode = os.environ.get("BENCH_MODE", "block")
-    # Default sample counts; output/bench_defaults.json (written by
-    # tools/pick_bench_k.py from the measured FPS x quality sweep)
-    # overrides code defaults, explicit env vars override both.
     k1_def, k2_def = 32, (12 if mode == "block" else 16)
-    defaults_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "output", "bench_defaults.json")
-    if os.path.exists(defaults_path):
-        try:
-            with open(defaults_path) as f:
-                picked = json.load(f)
-            k1_def = int(picked.get("k1", k1_def))
-            k2_def = int(picked.get("k2", k2_def))
-        except (OSError, ValueError):
-            pass
+    try:
+        k1_def = int(picked.get("k1", k1_def))
+        k2_def = int(picked.get("k2", k2_def))
+    except (TypeError, ValueError):
+        pass
     k1 = int(os.environ.get("BENCH_K1", k1_def))
     k2 = int(os.environ.get("BENCH_K2", k2_def))
     block = int(os.environ.get("BENCH_BLOCK", 8))

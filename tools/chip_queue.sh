@@ -180,6 +180,40 @@ job ab_brick 2400 python run.py --config configs/r4/p2i_brick.yaml \
 job ab_exact 3600 python run.py --config configs/r4/p2i_exact.yaml \
   --data_dir data_scenes/lego_proxy
 
+# ---- P1c: headline upgrade — block quality on the EXACT artifact --------
+# The block path on the r3 brick ckpt tops out at 25.78 dB (quality_block
+# .log), below the 25.88 bar at every k — so the 11.36 FPS k=24+8 point
+# cannot ship from that artifact. The render path is BAKED (layout-
+# independent), so the exact-layout 2k ckpt from ab_exact is pure quality
+# upside at identical FPS. Measure its block rows, re-pick (pick writes
+# {k1,k2,ckpt} and bench.py now reads the ckpt from the defaults file),
+# then re-measure the chosen config driver-style.
+if [ -f output/p2i_exact_r4/lego_proxy/best_model.pth ]; then
+  job quality_block_exact 5400 python tools/quality_ab.py \
+    --ckpt output/p2i_exact_r4/lego_proxy/best_model.pth \
+    --data_dir data_scenes/lego_proxy --only block --n_images 8 \
+    --out "$QL/ab_block_exact_r5.md"
+fi
+job bench_k28_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=28 BENCH_K2=8  python bench.py
+job bench_k24_12  2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=12 python bench.py
+job bench_1disp   2700 env BENCH_FROM_QUEUE=1 BENCH_SINGLE_DISPATCH=1 python bench.py
+# factorized-trilerp fine pass (foldf32 is numerically exact; fold is
+# bf16 — needs a quality row before it could ever ship as default)
+job bench_foldf32 2700 env BENCH_FROM_QUEUE=1 BAKED_TRILERP=foldf32 python bench.py
+job bench_fold    2700 env BENCH_FROM_QUEUE=1 BAKED_TRILERP=fold    python bench.py
+# re-pick with the full sweep + exact-ckpt quality measured, then
+# validate the chosen configuration exactly as the driver will run it
+job pick_k3       300  python tools/pick_bench_k.py
+job bench_chosen3 2700 env BENCH_FROM_QUEUE=1 python bench.py
+
+# ---- P1d: part 1 natural-photo row at chip scale (cheap README row) -----
+# grace_hopper.jpg natural photo at 512x600 with the reference's own
+# best-sweep capacity (L=15, 1024x5 — reference run.py:47-57); the CPU
+# hedge at 256x4 capacity reached only 31.30 dB.
+job part1_photo_hd_chip 2700 python run.py \
+  --config configs/r5/part1_photo_chip.yaml \
+  --image data_scenes/photo/grace_hopper.jpg
+
 # ---- P2: part 4 at scale (anchor-times fix landed r3) ------------------
 # The part-3/part-4 recipes defer the test pass to --eval_only
 # (reference parity: run.py:2121-2160), so each training job is followed
@@ -195,32 +229,9 @@ job part4_exact 10800 python run.py \
 if [ -f output/part4_exact_r4/dyn_proxy/best_model.pth ]; then
   job part4_exact_eval 3600 python run.py \
     --config configs/r4/part4_exact.yaml \
-    --data_dir data_scenes/dyn_proxy --eval_only --render_n -1 \
+    --data_dir data_scenes/dyn_proxy --eval_only --render_n 20 \
     --checkpoint output/part4_exact_r4/dyn_proxy/best_model.pth
 fi
-job part4_scale 7200 python run.py --config configs/r4/part4_scale.yaml \
-  --data_dir data_scenes/dyn_proxy
-if [ -f output/part4_r4/dyn_proxy/best_model.pth ]; then
-  job part4_scale_eval 3600 python run.py \
-    --config configs/r4/part4_scale.yaml \
-    --data_dir data_scenes/dyn_proxy --eval_only --render_n -1 \
-    --checkpoint output/part4_r4/dyn_proxy/best_model.pth
-fi
-
-# ---- P2b: render sweep tail (same artifact) ------------------------------
-job bench_k28_8   2700 env BENCH_FROM_QUEUE=1 BENCH_K1=28 BENCH_K2=8  python bench.py
-job bench_k24_12  2700 env BENCH_FROM_QUEUE=1 BENCH_K1=24 BENCH_K2=12 python bench.py
-job bench_1disp   2700 env BENCH_FROM_QUEUE=1 BENCH_SINGLE_DISPATCH=1 python bench.py
-# factorized-trilerp fine pass (foldf32 is numerically exact; fold is
-# bf16 — needs a quality row before it could ever ship as default)
-job bench_foldf32 2700 env BENCH_FROM_QUEUE=1 BAKED_TRILERP=foldf32 python bench.py
-job bench_fold    2700 env BENCH_FROM_QUEUE=1 BAKED_TRILERP=fold    python bench.py
-# re-pick with the full sweep measured (no-op if the choice stands)
-job pick_k2       300  python tools/pick_bench_k.py
-job bench_chosen2 2700 env BENCH_FROM_QUEUE=1 python bench.py
-# the headline-config stage profile (fine-pass-tail data, ROADMAP P0);
-# the other profiles run in the P9 tail after every graded row
-job profile_block     1800 python -u tools/profile_block.py
 
 # ---- P3: part 3 flagship (instant, 20k) --------------------------------
 # --render_n 20 routes the post-train eval into the full-test dense PSNR
@@ -243,24 +254,31 @@ fi
 job p2_20k 3600 python run.py --config configs/r4/p2_20k.yaml \
   --data_dir data_scenes/lego_proxy
 
-# ---- P5: part 4 second scene + part 3 standard/DTC ---------------------
+# ---- P5: part 4 brick control + part 3 standard/DTC + second scene -----
+job part4_scale 7200 python run.py --config configs/r4/part4_scale.yaml \
+  --data_dir data_scenes/dyn_proxy
+if [ -f output/part4_r4/dyn_proxy/best_model.pth ]; then
+  job part4_scale_eval 3600 python run.py \
+    --config configs/r4/part4_scale.yaml \
+    --data_dir data_scenes/dyn_proxy --eval_only --render_n 20 \
+    --checkpoint output/part4_r4/dyn_proxy/best_model.pth
+fi
+job part3_std 14400 python run.py --config configs/r4/part3_scale.yaml \
+  --data_dir data_scenes/dyn_proxy --render_n 20
+job part3_dtc 14400 python run.py --config configs/r4/part3_dtc_scale.yaml \
+  --data_dir data_scenes/dyn_proxy --render_n 20
 scene dyn_gentle
 job part4_gentle 10800 python run.py --config configs/r4/part4_gentle.yaml \
   --data_dir data_scenes/dyn_gentle
 if [ -f output/part4_gentle_r4/dyn_gentle/best_model.pth ]; then
   job part4_gentle_eval 3600 python run.py \
     --config configs/r4/part4_gentle.yaml \
-    --data_dir data_scenes/dyn_gentle --eval_only --render_n -1 \
+    --data_dir data_scenes/dyn_gentle --eval_only --render_n 20 \
     --checkpoint output/part4_gentle_r4/dyn_gentle/best_model.pth
 fi
-job part3_std 14400 python run.py --config configs/r4/part3_scale.yaml \
-  --data_dir data_scenes/dyn_proxy --render_n 20
-job part3_dtc 14400 python run.py --config configs/r4/part3_dtc_scale.yaml \
-  --data_dir data_scenes/dyn_proxy --render_n 20
 
-# ---- P6: part 1 photo-scale fit ----------------------------------------
-job part1_photo 2400 python run.py --config configs/r4/part1_photo.yaml \
-  --image data_scenes/lego_proxy/test/r_0.png
+# ---- P6: the headline-config stage profile (fine-pass-tail data) --------
+job profile_block 1800 python -u tools/profile_block.py
 
 # ---- P7: remaining hash-layout ladder rungs (2k each, same seed/scene) --
 # (ab_brick/ab_exact moved up to P1b — they gate the long exact runs.)

@@ -1,18 +1,23 @@
-"""Pick the shipped bench (k_coarse, k_fine) from measured evidence.
+"""Pick the shipped bench (checkpoint, k_coarse, k_fine) from evidence.
 
 Inputs (produced by tools/chip_queue.sh on the real chip):
   * output/queue_logs/bench_*.log — driver-grade FPS per sweep point
-    (the one JSON line each bench job prints);
-  * output/queue_logs/quality_block.log — dense-test PSNR per block-
-    renderer sweep point on the same trained artifact
-    ("block 256^3, k=A+B   PSNR X dB" rows from tools/quality_ab.py).
+    (the one JSON line each bench job prints). FPS is measured through
+    the BAKED block renderer, so it is checkpoint-independent to first
+    order (the bake erases the hash layout; only occupancy differs).
+  * output/queue_logs/quality_block.log — dense-test PSNR per block
+    sweep point on the round-3 brick checkpoint;
+  * output/queue_logs/quality_block_exact.log — same rows measured on
+    the round-5 exact-layout checkpoint (the quality candidate: the CPU
+    layout ladder has exact +3.2 dB over brick at equal params).
 
-Decision rule (ROADMAP P0 / VERDICT r3 item 1): among sweep points with
-BOTH a measured FPS and a measured PSNR, pick the highest FPS whose PSNR
-is within 0.3 dB of the 26.18 dB dense masked baseline (>= 25.88). Ties
-break toward higher PSNR. Writes output/bench_defaults.json, which
-bench.py reads when BENCH_K1/K2 are not set — so the driver's final
-bench.py run measures the chosen configuration automatically.
+Decision rule (ROADMAP P0 / VERDICT r3 item 1): among (ckpt, k) pairs
+with BOTH a measured FPS and a measured PSNR, pick the highest FPS whose
+PSNR holds the quality bar (>= 25.88 dB = the 26.18 dense baseline less
+the 0.3 dB fallback allowance). Ties break toward higher PSNR. Writes
+output/bench_defaults.json {k1, k2, ckpt, fps, psnr}; bench.py reads it
+when BENCH_K1/K2/BENCH_CKPT are not set — so the driver's final bench.py
+run measures the chosen configuration automatically.
 
 Never degrades silently: if no point beats the current default's FPS
 while holding the quality bar, the defaults file is left untouched.
@@ -20,7 +25,6 @@ while holding the quality bar, the defaults file is left untouched.
 Usage: python tools/pick_bench_k.py
 """
 
-import glob
 import json
 import os
 import re
@@ -31,6 +35,7 @@ OUT = os.path.join(ROOT, "output", "bench_defaults.json")
 
 PSNR_BAR = 25.88          # 26.18 dense baseline - 0.3 dB fallback rule
 CODE_DEFAULT = (32, 12)   # bench.py's in-code default
+CODE_CKPT = "output/part2_instant_r3/lego_proxy/best_model.pth"
 
 # Which (k1, k2) each queue bench job measured.
 BENCH_JOB_KS = {
@@ -38,6 +43,13 @@ BENCH_JOB_KS = {
     "bench_k24_8": (24, 8),
     "bench_k28_8": (28, 8),
     "bench_k24_12": (24, 12),
+}
+
+# Quality log -> the checkpoint its rows were measured on.
+QUALITY_LOGS = {
+    "quality_block.log": CODE_CKPT,
+    "quality_block_exact.log":
+        "output/p2i_exact_r4/lego_proxy/best_model.pth",
 }
 
 QUALITY_RE = re.compile(
@@ -69,43 +81,50 @@ def main():
         if fps:
             fps_by_k[ks] = max(fps, fps_by_k.get(ks, 0.0))
 
-    psnr_by_k = {}
-    qlog = os.path.join(QL, "quality_block.log")
-    if os.path.exists(qlog):
+    # (ckpt, k) -> PSNR, one entry per quality log whose ckpt exists.
+    psnr_by_ck = {}
+    for log_name, ckpt in QUALITY_LOGS.items():
+        qlog = os.path.join(QL, log_name)
+        if not os.path.exists(qlog):
+            continue
+        if not os.path.exists(os.path.join(ROOT, ckpt)):
+            print(f"{log_name}: checkpoint {ckpt} missing; skipped")
+            continue
         with open(qlog, encoding="utf-8", errors="replace") as f:
             for m in QUALITY_RE.finditer(f.read()):
-                psnr_by_k[(int(m.group(1)), int(m.group(2)))] = \
-                    float(m.group(3))
+                k = (int(m.group(1)), int(m.group(2)))
+                psnr_by_ck[(ckpt, k)] = float(m.group(3))
 
     candidates = []
-    for ks, fps in fps_by_k.items():
-        psnr = psnr_by_k.get(ks)
-        if psnr is None:
-            print(f"k={ks}: FPS {fps:.3f} but no PSNR row; skipped")
+    for (ckpt, ks), psnr in sorted(psnr_by_ck.items()):
+        fps = fps_by_k.get(ks)
+        if fps is None:
             continue
         ok = psnr >= PSNR_BAR
-        print(f"k={ks}: FPS {fps:.3f}, PSNR {psnr:.2f} dB "
+        tag = os.path.basename(os.path.dirname(os.path.dirname(ckpt)))
+        print(f"{tag} k={ks}: FPS {fps:.3f}, PSNR {psnr:.2f} dB "
               f"({'ok' if ok else 'below bar'})")
         if ok:
-            candidates.append((fps, psnr, ks))
+            candidates.append((fps, psnr, ks, ckpt))
 
     if not candidates:
         print("no candidate holds the quality bar; defaults unchanged")
         return
 
     base_fps = fps_by_k.get(CODE_DEFAULT, 0.0)
-    fps, psnr, ks = max(candidates)
+    fps, psnr, ks, ckpt = max(candidates)
     if ks != CODE_DEFAULT and fps <= base_fps:
         print(f"best candidate k={ks} ({fps:.3f} FPS) does not beat the "
               f"default's {base_fps:.3f} FPS; defaults unchanged")
         return
 
     with open(OUT, "w") as f:
-        json.dump({"k1": ks[0], "k2": ks[1], "fps": fps, "psnr": psnr,
+        json.dump({"k1": ks[0], "k2": ks[1], "ckpt": ckpt,
+                   "fps": fps, "psnr": psnr,
                    "rule": f"max FPS with PSNR >= {PSNR_BAR}"}, f)
         f.write("\n")
-    print(f"picked k={ks[0]}+{ks[1]}: {fps:.3f} FPS at {psnr:.2f} dB "
-          f"-> {OUT}")
+    print(f"picked k={ks[0]}+{ks[1]} on {ckpt}: {fps:.3f} FPS at "
+          f"{psnr:.2f} dB -> {OUT}")
 
 
 if __name__ == "__main__":

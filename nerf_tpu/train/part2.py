@@ -19,6 +19,7 @@ from ..data.blender import BlenderDataset, sample_random_rays
 from ..models import build_field
 from ..render.renderer import render_rays
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.resume import load_train_state, save_train_state
 from ..utils.logging import TensorBoardLogger
 from ..utils.metrics import compute_psnr
 from .common import ImageRenderer, composite_target, evaluate_split, save_png
@@ -115,7 +116,25 @@ def run_part2(cfg: dict, args) -> None:
 
         print(">>> Start Training Part 2 (NeRF)...")
         rng = key
-        for step in range(1, train_iters + 1):
+        import time as _time
+        train_t0 = _time.perf_counter()
+
+        # Full-state resume after a relay outage (see utils/resume.py).
+        start_step = 0
+        wall_prev = 0.0
+        resume_path = os.path.join(log_dir, "resume.pth")
+        if getattr(args, "resume", False):
+            st = load_train_state(resume_path)
+            if st is not None:
+                params = jax.tree.map(jnp.asarray, st["params"])
+                opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
+                rng = jnp.asarray(st["rng"])
+                start_step = st["step"]
+                wall_prev = st.get("wall", 0.0)
+                print(f">>> resumed train state at step {start_step} "
+                      f"({wall_prev:.0f}s accumulated)")
+
+        for step in range(start_step + 1, train_iters + 1):
             rng, srng = jax.random.split(rng)
             params, opt_state, loss = train_step(params, opt_state, srng)
             if step % log_every == 0:
@@ -129,9 +148,15 @@ def run_part2(cfg: dict, args) -> None:
                 save_checkpoint(
                     os.path.join(ckpt_dir, f"model_step_{step:06d}.pth"),
                     params, cfg, step=step)
+                save_train_state(
+                    resume_path, params, opt_state, step, 0.0, rng,
+                    wall_prev + (_time.perf_counter() - train_t0))
 
         save_checkpoint(os.path.join(ckpt_dir, "model_final.pth"),
                         params, cfg, step=train_iters)
+        wall = wall_prev + (_time.perf_counter() - train_t0)
+        print(f">>> training wall-clock {int(wall // 60)}:{wall % 60:04.1f}"
+              f" ({train_iters} steps)")
         tb_logger.close()
         print(f">>> training done; TensorBoard logs in {tb_dir}")
 

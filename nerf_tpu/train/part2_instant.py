@@ -31,6 +31,7 @@ from ..render.density_grid import (DensityGridSpec, density_grid_init,
                                    make_grid_updater, should_update)
 from ..render.renderer import render_rays
 from ..utils.checkpoint import load_checkpoint, save_checkpoint
+from ..utils.resume import load_train_state, save_train_state
 from ..utils.logging import TensorBoardLogger, get_exp_name
 from ..utils.metrics import compute_psnr
 from ..utils.profiling import StepTimer, TraceCapture
@@ -352,7 +353,27 @@ def run_part2_instant(cfg: dict, args) -> None:
         import time as _time
         train_t0 = _time.perf_counter()
 
-        for step in range(1, train_iters + 1):
+        # Full-state resume after a relay outage (see utils/resume.py).
+        start_step = 0
+        wall_prev = 0.0
+        resume_path = os.path.join(log_dir, "resume.pth")
+        if getattr(args, "resume", False):
+            st = load_train_state(resume_path)
+            if st is not None:
+                params = jax.tree.map(jnp.asarray, st["params"])
+                opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
+                rng = jnp.asarray(st["rng"])
+                best_val_psnr = st["best_val"]
+                start_step = st["step"]
+                wall_prev = st.get("wall", 0.0)
+                if grid_state is not None and st.get("grid") is not None:
+                    grid_state = jax.tree.map(jnp.asarray, st["grid"])
+                    active_ratio = float(st.get("active_ratio", 1.0))
+                print(f">>> resumed train state at step {start_step} "
+                      f"(best val {best_val_psnr:.2f} dB, "
+                      f"{wall_prev:.0f}s accumulated)")
+
+        for step in range(start_step + 1, train_iters + 1):
             trace.step(step)
             rng, srng = jax.random.split(rng)
             use_grid = grid_state is not None and step > grid_warmup_iters
@@ -418,8 +439,13 @@ def run_part2_instant(cfg: dict, args) -> None:
                     print(" | new best model saved")
                 else:
                     print()
+                save_train_state(
+                    resume_path, params, opt_state, step, best_val_psnr,
+                    rng, wall_prev + (_time.perf_counter() - train_t0),
+                    extra={"grid": grid_state,
+                           "active_ratio": active_ratio})
 
-        wall = _time.perf_counter() - train_t0
+        wall = wall_prev + (_time.perf_counter() - train_t0)
         print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB"
               f" | training wall-clock {int(wall // 60)}:{wall % 60:04.1f}"
               f" ({train_iters} steps incl. val/grid updates)")

@@ -45,6 +45,11 @@ def main():
                              "-1 renders an interpolated orbit video")
     parser.add_argument("--render_chunk", type=int,
                         help="override the render chunk size")
+    parser.add_argument("--resume", action="store_true",
+                        help="continue a killed training run from the "
+                             "resume.pth train state in the run's output "
+                             "dir (full state: optimizer, step, grid, "
+                             "rng); no-op if the file is absent")
     args = parser.parse_args()
 
     with open(args.config, "r", encoding="utf-8") as f:

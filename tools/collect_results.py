@@ -81,7 +81,8 @@ def main():
     rows = []
     for d, src in SWEEP:
         for log in sorted(glob.glob(os.path.join(d, "*.log"))):
-            if os.path.basename(log) == "queue.log":
+            if os.path.basename(log) in ("queue.log", "queue_r4.log",
+                                         "queue_r5.log"):
                 continue
             rows.append(parse_log(log, src))
 

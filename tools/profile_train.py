@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--n_samples", type=int, default=128)
     ap.add_argument("--budget_mode", default="first")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--hash_impl", default=None,
+                    help="pin the hash table layout (brick/exact/...); "
+                         "default = the package default")
     args = ap.parse_args()
 
     from nerf_tpu import enable_compile_cache
@@ -52,6 +55,8 @@ def main():
         "per_level_scale": 1.5, "scene_bound": 1.5, "L_embed_dir": 4,
         "hidden_dim": 64,
     }
+    if args.hash_impl:
+        cfg["hash_impl"] = args.hash_impl
     field = build_field(cfg)
     params = jax.jit(field.init)(jax.random.PRNGKey(0))
     table_key = next(iter(field.specs))

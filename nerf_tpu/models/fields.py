@@ -102,6 +102,11 @@ def _hash_spec_from_cfg(cfg: dict, prefix: str = "",
         per_level_scale=g("per_level_scale", 1.5),
         bound=cfg.get("scene_bound", default_bound),
         impl=impl,
+        # tbrick only: widen the dense (collision-free) level prefix
+        # beyond the reference's 2^log2_hashmap_size GPU-memory artifact
+        # (key `hash_dense_max_entries`, per-grid via the same prefix
+        # rule as the other hash keys).
+        dense_max_entries=g("hash_dense_max_entries", None),
     )
 
 
@@ -343,6 +348,7 @@ def _build_part4(cfg: dict) -> Field:
         per_level_scale=cfg.get("deform_per_level_scale", 1.5),
         bound=cfg.get("scene_bound", 1.5),
         impl=cfg.get("hash_impl", "exact"),
+        dense_max_entries=cfg.get("deform_hash_dense_max_entries", None),
     )
     canon_spec = _hash_spec_from_cfg(cfg, default_bound=1.5)
 

@@ -118,11 +118,31 @@ class HashGridSpec:
     # ~22.2 dB by additivity (brick 20.11 + the 2.1 dB seam recovery
     # measured between mixed and exact); strictly dominates vcell if the
     # axes compose.
+    # "tbrick" (TIED brick rows): dense levels store canonical PER-VERTEX
+    # parameters (seam-free by construction) that are EXPANDED into brick
+    # rows once per encode call — the expansion is 64 strided window
+    # slices (extract-patches, stride 3), zero gather descriptors, O(table
+    # bytes) DMA — and the per-point path then row-gathers the expanded
+    # rows exactly like impl='brick'. vbrick's seam-free quality at
+    # brick's 1-descriptor-per-point-level speed: the per-point cost of
+    # the dense prefix drops from vbrick's 8 vertex gathers to ONE row
+    # gather, paid for by an O(level-table) expansion whose cost is
+    # independent of the point count (~1 ms/step at default caps).
+    # `dense_max_entries` widens the dense prefix beyond the reference's
+    # 2^log2_hashmap_size GPU-memory artifact: TPU HBM is the cheap
+    # resource, gather descriptors the expensive one, so spending bytes
+    # to push the first HASHED level from res 81 to res 200+ removes
+    # collisions from the mid levels entirely at unchanged step time.
+    # Hashed fine levels remain impl='brick' rows (one region per level).
     impl: str = "brick"
+    # tbrick only: a level is stored dense-per-vertex while
+    # res^3 <= dense_max_entries (None -> 2^log2_hashmap_size, the exact
+    # impl's dense rule).
+    dense_max_entries: int | None = None
 
     def __post_init__(self):
         if self.impl not in ("brick", "exact", "mixed", "cell", "vcell",
-                             "vbrick"):
+                             "vbrick", "tbrick"):
             raise ValueError(f"unknown hash impl: {self.impl}")
         if self.impl != "exact" and self.n_features_per_level != 2:
             raise NotImplementedError(
@@ -281,6 +301,39 @@ class HashGridSpec:
         return (self.vcell_dense_offsets[-1] * self.n_features_per_level
                 + n_hashed * self.max_bricks * _ROW_W)
 
+    # ---- tbrick (tied brick rows: vertex-canonical dense prefix) ---------
+    @property
+    def tbrick_dense_cap(self) -> int:
+        return (self.dense_max_entries if self.dense_max_entries
+                else 1 << self.log2_hashmap_size)
+
+    @property
+    def tbrick_split(self) -> int:
+        """First hashed level: res^3 exceeds the dense-entry budget."""
+        cap = self.tbrick_dense_cap
+        for l, res in enumerate(self.resolutions):
+            if res ** 3 > cap:
+                return l
+        return self.n_levels
+
+    @property
+    def tbrick_dense_sizes(self) -> Tuple[int, ...]:
+        return tuple(self.resolutions[l] ** 3
+                     for l in range(self.tbrick_split))
+
+    @property
+    def tbrick_dense_offsets(self) -> Tuple[int, ...]:
+        offs = [0]
+        for s in self.tbrick_dense_sizes:
+            offs.append(offs[-1] + s)
+        return tuple(offs)
+
+    @property
+    def tbrick_n_params(self) -> int:
+        n_hashed = self.n_levels - self.tbrick_split
+        return (self.tbrick_dense_offsets[-1] * self.n_features_per_level
+                + n_hashed * self.max_bricks * _ROW_W)
+
 
 def hash_grid_init(key: jax.Array, spec: HashGridSpec,
                    dtype=jnp.float32) -> jnp.ndarray:
@@ -306,6 +359,9 @@ def hash_grid_init(key: jax.Array, spec: HashGridSpec,
     if spec.impl == "vbrick":
         return jax.random.uniform(
             key, (spec.vbrick_n_params,), dtype, -1e-4, 1e-4)
+    if spec.impl == "tbrick":
+        return jax.random.uniform(
+            key, (spec.tbrick_n_params,), dtype, -1e-4, 1e-4)
     return jax.random.uniform(
         key, (spec.n_bricks, _ROW_W), dtype, -1e-4, 1e-4)
 
@@ -323,6 +379,8 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
         return hash_encode_vcell(table, x, spec, max_level)
     if spec.impl == "vbrick":
         return hash_encode_vbrick(table, x, spec, max_level)
+    if spec.impl == "tbrick":
+        return hash_encode_tbrick(table, x, spec, max_level)
     return _hash_encode_brick(table, x, spec, max_level)
 
 
@@ -643,6 +701,86 @@ def hash_encode_vbrick(table: jnp.ndarray, x: jnp.ndarray,
             brick_tab, x01, spec, levels, offsets, spec.max_bricks))
     if lmax < spec.n_levels:
         feats.append(jnp.zeros((n, (spec.n_levels - lmax) * f), jnp.float32))
+    return jnp.concatenate(feats, axis=-1)
+
+
+def _expand_vertices_to_brick_rows(vflat: jnp.ndarray, res: int, nb: int,
+                                   f: int) -> jnp.ndarray:
+    """Differentiably expand a canonical per-vertex level table into the
+    brick-row layout (_brick_row_trilerp's lane order).
+
+    vflat is the level's [res^3 * f] region with vertex (x, y, z) at flat
+    entry x + res*y + res^2*z (the exact impl's dense indexing). The
+    expansion is 64 strided window slices — extract-patches with a 4^3
+    window and stride 3 — so it costs ZERO gather descriptors and
+    O(res^3) DMA; its autodiff transpose is the matching set of strided
+    slice-adds (overlap-add), also gather-free. Returns [nb^3, 128] rows
+    with row = bx + nb*by + nb^2*bz and lane = ((i*4 + j)*4 + k)*f + c
+    for local vertex (i=x, j=y, k=z), matching _hash_encode_brick's
+    dense-level addressing.
+    """
+    # flat x + res*y + res^2*z  <=>  C-order axes [z, y, x]
+    V = vflat.reshape(res, res, res, f)                  # [z, y, x, f]
+    need = 3 * nb + 1
+    if need > res:
+        pad = need - res
+        V = jnp.pad(V, ((0, pad), (0, pad), (0, pad), (0, 0)), mode="edge")
+    parts = []
+    for i in range(_BRICK_V):            # local x — lane-major
+        for j in range(_BRICK_V):        # local y
+            for k in range(_BRICK_V):    # local z
+                w = V[k::3, j::3, i::3]
+                parts.append(w[:nb, :nb, :nb])           # [bz, by, bx, f]
+    rows = jnp.stack(parts, axis=3)                      # [bz,by,bx,64,f]
+    return rows.reshape(nb ** 3, 64 * f)
+
+
+def hash_encode_tbrick(table: jnp.ndarray, x: jnp.ndarray,
+                       spec: HashGridSpec, max_level: int | None = None
+                       ) -> jnp.ndarray:
+    """tbrick layout: vertex-canonical dense prefix expanded to brick rows
+    once per call + hashed brick rows (see the spec docstring).
+
+    Per-point descriptor cost is identical to impl='brick' (ONE row
+    gather per point-level across ALL levels); the dense levels are
+    seam-free because every duplicated row lane is tied to its single
+    canonical vertex parameter through the expansion, whose transpose
+    accumulates all copies' gradients back onto that vertex.
+    """
+    split = spec.tbrick_split
+    f = spec.n_features_per_level
+    n = x.shape[0]
+    xf = x.astype(jnp.float32)
+    x01 = jnp.clip((xf + spec.bound) / (2.0 * spec.bound), 0.0, 1.0)
+    n_dense = spec.tbrick_dense_offsets[-1]
+
+    lmax = spec.n_levels if max_level is None else min(max_level,
+                                                       spec.n_levels)
+    feats = []
+    for lvl in range(min(lmax, split)):
+        res = spec.resolutions[lvl]
+        nb = max(1, -(-(res - 1) // _BRICK_C))
+        o = spec.tbrick_dense_offsets[lvl]
+        rows_tab = _expand_vertices_to_brick_rows(
+            table[o * f: (o + res ** 3) * f], res, nb, f)
+        brick, q, frac = _brick_cell_coords(x01, res)
+        b = brick.astype(jnp.uint32)
+        row = b[:, 0] + b[:, 1] * np.uint32(nb) \
+            + b[:, 2] * np.uint32(nb * nb)
+        rows = jnp.take(rows_tab, row.astype(jnp.int32), axis=0,
+                        unique_indices=False, mode="clip") \
+            .astype(jnp.float32)
+        feats.append(_brick_row_trilerp(rows, q, frac))
+
+    if lmax > split:
+        brick_tab = table[n_dense * f:].reshape(-1, _ROW_W)
+        levels = list(range(split, lmax))
+        offsets = [(l - split) * spec.max_bricks for l in levels]
+        feats.append(_encode_brick_hashed_levels(
+            brick_tab, x01, spec, levels, offsets, spec.max_bricks))
+    if lmax < spec.n_levels:
+        feats.append(jnp.zeros((n, (spec.n_levels - lmax) * f),
+                               jnp.float32))
     return jnp.concatenate(feats, axis=-1)
 
 

@@ -50,6 +50,8 @@ QUALITY_LOGS = {
     "quality_block.log": CODE_CKPT,
     "quality_block_exact.log":
         "output/p2i_exact_r4/lego_proxy/best_model.pth",
+    "quality_block_tbrick.log":
+        "output/p2i_tbrick_hd_r5/lego_proxy/best_model.pth",
 }
 
 QUALITY_RE = re.compile(

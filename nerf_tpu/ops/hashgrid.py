@@ -725,13 +725,30 @@ def _expand_vertices_to_brick_rows(vflat: jnp.ndarray, res: int, nb: int,
     if need > res:
         pad = need - res
         V = jnp.pad(V, ((0, pad), (0, pad), (0, pad), (0, 0)), mode="edge")
-    parts = []
-    for i in range(_BRICK_V):            # local x — lane-major
-        for j in range(_BRICK_V):        # local y
-            for k in range(_BRICK_V):    # local z
-                w = V[k::3, j::3, i::3]
-                parts.append(w[:nb, :nb, :nb])           # [bz, by, bx, f]
-    rows = jnp.stack(parts, axis=3)                      # [bz,by,bx,64,f]
+
+    def expand_axis(a, axis):
+        """[..., 3*nb+1, ...] -> [..., nb, 4, ...]: brick slot s of brick b
+        is vertex 3b+s. Slots 0-2 are a pure [3*nb]->[nb,3] reshape of the
+        unshifted array; slot 3 (= slot 0 of the next brick) is lane 2 of
+        the same reshape of the 1-shifted array. Unit-stride slices and
+        reshapes ONLY — stride-3 slicing on a minor axis breaks the TPU's
+        lane vectorization and measured ~7x step time in the first
+        formulation of this expansion."""
+        n_full = 3 * nb
+        lead = a.shape[:axis]
+        trail = a.shape[axis + 1:]
+        sl = lambda lo, hi: a[tuple([slice(None)] * axis + [slice(lo, hi)])]
+        s012 = sl(0, n_full).reshape(*lead, nb, 3, *trail)
+        s3 = sl(1, n_full + 1).reshape(*lead, nb, 3, *trail)
+        idx3 = tuple([slice(None)] * (axis + 1) + [slice(2, 3)])
+        return jnp.concatenate([s012, s3[idx3]], axis=axis + 1)
+
+    # V [z, y, x, f] -> [bz, 4z, by, 4y, bx, 4x, f]
+    W = expand_axis(V, 2)            # [z, y, bx, 4x, f]
+    W = expand_axis(W, 1)            # [z, by, 4y, bx, 4x, f]
+    W = expand_axis(W, 0)            # [bz, 4z, by, 4y, bx, 4x, f]
+    # lane order is ((i_x*4 + j_y)*4 + k_z)*f + c (see _brick_row_trilerp)
+    rows = W.transpose(0, 2, 4, 5, 3, 1, 6)   # [bz, by, bx, 4x, 4y, 4z, f]
     return rows.reshape(nb ** 3, 64 * f)
 
 

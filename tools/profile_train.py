@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--hash_impl", default=None,
                     help="pin the hash table layout (brick/exact/...); "
                          "default = the package default")
+    ap.add_argument("--dense_max_entries", type=int, default=None,
+                    help="tbrick dense-prefix cap (hash_dense_max_entries)")
     args = ap.parse_args()
 
     from nerf_tpu import enable_compile_cache
@@ -57,6 +59,8 @@ def main():
     }
     if args.hash_impl:
         cfg["hash_impl"] = args.hash_impl
+    if args.dense_max_entries:
+        cfg["hash_dense_max_entries"] = args.dense_max_entries
     field = build_field(cfg)
     params = jax.jit(field.init)(jax.random.PRNGKey(0))
     table_key = next(iter(field.specs))
@@ -143,6 +147,33 @@ def main():
     timed(f"hash encode fwd+bwd ({B*K/1e6:.1f}M pts)", enc_bwd, pts)
     pts_c = pts[:cap]
     timed(f"hash encode fwd+bwd ({cap/1e6:.1f}M pts)", enc_bwd, pts_c)
+
+    if spec.impl == "tbrick":
+        # The expansion alone (per-step O(table) overhead of tying the
+        # dense levels): forward and its overlap-add transpose.
+        from nerf_tpu.ops.hashgrid import (_BRICK_C,
+                                           _expand_vertices_to_brick_rows)
+        f_ = spec.n_features_per_level
+
+        def expand_all(p, x):
+            tbl = p[table_key] + x[0, 0] * 1e-9
+            acc = 0.0
+            for lvl in range(spec.tbrick_split):
+                res = spec.resolutions[lvl]
+                nb = max(1, -(-(res - 1) // _BRICK_C))
+                o = spec.tbrick_dense_offsets[lvl]
+                rows = _expand_vertices_to_brick_rows(
+                    tbl[o * f_: (o + res ** 3) * f_], res, nb, f_)
+                acc = acc + jnp.sum(rows[::1009])
+            return acc
+        timed(f"tbrick expansion fwd ({spec.tbrick_split} dense lvls)",
+              expand_all, pts)
+
+        def expand_bwd(p, x):
+            g = jax.grad(lambda t: expand_all({table_key: t}, x))(
+                p[table_key])
+            return jnp.sum(g[:5])
+        timed("tbrick expansion fwd+bwd", expand_bwd, pts)
 
     # Occupancy probe + budget select alone.
     def probe_select(p, ro, rd):

@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.fourier import fourier_encode, fourier_out_dim
-from ..ops.hashgrid import HashGridSpec, hash_encode, hash_grid_init
+from ..ops.hashgrid import (DEFAULT_HASH_IMPL, HashGridSpec,
+                            hash_encode, hash_grid_init)
 from . import decoders as D
 
 
@@ -87,13 +88,14 @@ def _hash_spec_from_cfg(cfg: dict, prefix: str = "",
                         default_bound: float = 1.0) -> HashGridSpec:
     g = lambda k, d: cfg.get(prefix + k, d)
     n_feats = g("n_features_per_level", 2)
-    # Default flipped brick -> exact in round 5 per the committed decision
-    # rule (AB_RESULTS.md "Default-flip decision rule"): the CPU ladder
-    # measured exact +3.2 dB over brick at equal params (23.31 vs 20.11
-    # test), and neither cell (18.99) nor mixed (21.20) lands within
-    # 0.3 dB of exact. Speed-gate configs pin `hash_impl: brick`
-    # explicitly (configs/r4/p2i_gate*.yaml) and are unaffected.
-    impl = cfg.get("hash_impl", "exact")
+    # Default history: brick -> exact (round 5, CPU ladder) -> tbrick
+    # (round 5, chip A/B at full recipe scale). The CPU ladder's +3.2 dB
+    # exact-over-brick gap COMPRESSES to ~0.14 dB at chip scale (2k-step
+    # gate recipe: brick 25.75 / tbrick 25.89 / tbrick_hd 25.88), while
+    # exact costs ~8x the step time — so the tied-brick layout, which
+    # takes the quality edge at brick-class speed, is the default
+    # (ops/hashgrid.py::DEFAULT_HASH_IMPL; evidence in AB_RESULTS.md).
+    impl = cfg.get("hash_impl", DEFAULT_HASH_IMPL)
     return HashGridSpec(
         n_levels=g("n_levels", 16),
         n_features_per_level=n_feats,
@@ -347,7 +349,7 @@ def _build_part4(cfg: dict) -> Field:
         base_resolution=cfg.get("deform_base_resolution", 16),
         per_level_scale=cfg.get("deform_per_level_scale", 1.5),
         bound=cfg.get("scene_bound", 1.5),
-        impl=cfg.get("hash_impl", "exact"),
+        impl=cfg.get("hash_impl", DEFAULT_HASH_IMPL),
         dense_max_entries=cfg.get("deform_hash_dense_max_entries", None),
     )
     canon_spec = _hash_spec_from_cfg(cfg, default_bound=1.5)

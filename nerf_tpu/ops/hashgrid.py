@@ -60,6 +60,14 @@ import numpy as np
 # applied to brick coordinates.
 _PRIMES = (1, 2654435761, 805459861)
 
+# The package-default table layout (single source of truth: build_field's
+# spec construction and the checkpoint layout stamp both read this).
+# Round-5 chip A/B at full recipe scale (AB_RESULTS.md): tbrick 25.89 dB
+# @ 11:20 vs brick 25.75 @ 9:35 vs exact ~16 steps/min (~8x tbrick's
+# step time, never finished a 2k arm between tunnel flaps) — tbrick
+# dominates brick on quality at near-equal speed and exact on speed.
+DEFAULT_HASH_IMPL = "tbrick"
+
 # Brick geometry: 4^3 vertices (one 128-lane row at F=2), 3^3 cells.
 _BRICK_V = 4          # vertices per axis
 _BRICK_C = 3          # cells per axis (stride)

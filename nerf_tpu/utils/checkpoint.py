@@ -24,11 +24,12 @@ def save_checkpoint(path: str, model_params, config: dict, step: int = 0,
                     extra: dict | None = None) -> None:
     # Stamp the resolved hash layout so a later load rebuilds the field
     # with the SAME table layout even if the package default changes
-    # again (the round-5 brick->exact default flip made unstamped
-    # configs ambiguous). Missing key here means the field was built
-    # with the current default.
+    # again (round 5 flipped it twice: brick -> exact -> tbrick).
+    # Missing key here means the field was built with the current
+    # default, so stamp exactly that.
     if config.get("mode") != "part1" and "hash_impl" not in config:
-        config = {**config, "hash_impl": "exact"}
+        from ..ops.hashgrid import DEFAULT_HASH_IMPL
+        config = {**config, "hash_impl": DEFAULT_HASH_IMPL}
     ckpt = {
         "model_state_dict": _to_numpy(model_params),
         "config": config,

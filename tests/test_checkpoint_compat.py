@@ -31,9 +31,10 @@ def _roundtrip(tmp_path, params, cfg):
 
 
 def test_unpinned_config_is_stamped_with_current_default(tmp_path, params):
+    from nerf_tpu.ops.hashgrid import DEFAULT_HASH_IMPL
     ckpt = _roundtrip(tmp_path, params, {"mode": "part2_instant",
                                          "n_levels": 8})
-    assert ckpt["config"]["hash_impl"] == "exact"
+    assert ckpt["config"]["hash_impl"] == DEFAULT_HASH_IMPL
 
 
 def test_pinned_config_passes_through_unchanged(tmp_path, params):

@@ -52,6 +52,10 @@ QUALITY_LOGS = {
         "output/p2i_exact_r4/lego_proxy/best_model.pth",
     "quality_block_tbrick.log":
         "output/p2i_tbrick_hd_r5/lego_proxy/best_model.pth",
+    # The round-5 quality-candidate artifact: 5k-step tbrick train whose
+    # dense headroom lets the fast k=24+8 block point hold the bar.
+    "quality_block_q5k.log":
+        "output/p2i_q5k_r5/lego_proxy/best_model.pth",
 }
 
 QUALITY_RE = re.compile(

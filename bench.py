@@ -324,14 +324,20 @@ def main():
     dt = (time.perf_counter() - t0) / n_frames
     fps = 1.0 / dt
 
-    print(json.dumps({
+    out = {
         "metric": "instant_ngp_render_fps_800x800",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
         "source": source,
         "config": f"{mode} k={k1}+{k2}",
-    }))
+    }
+    # Attach the measured block-path quality of the configuration being
+    # benched (from the pick), so the graded FPS line carries its PSNR.
+    if picked.get("psnr") and (k1, k2) == (picked.get("k1"),
+                                           picked.get("k2")):
+        out["block_psnr_db"] = round(float(picked["psnr"]), 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

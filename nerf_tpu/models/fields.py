@@ -96,6 +96,11 @@ def _hash_spec_from_cfg(cfg: dict, prefix: str = "",
     # takes the quality edge at brick-class speed, is the default
     # (ops/hashgrid.py::DEFAULT_HASH_IMPL; evidence in AB_RESULTS.md).
     impl = cfg.get("hash_impl", DEFAULT_HASH_IMPL)
+    if n_feats != 2 and impl != "exact":
+        # Row layouts (brick/tbrick/cell/...) are laid out for F=2; other
+        # widths (a valid reference config key) fall back to the faithful
+        # per-vertex implementation instead of crashing.
+        impl = "exact"
     return HashGridSpec(
         n_levels=g("n_levels", 16),
         n_features_per_level=n_feats,
@@ -342,6 +347,9 @@ def _build_part4(cfg: dict) -> Field:
     time_mod_layers = cfg.get("time_modulation_layers", 2)
 
     deform_feats = cfg.get("deform_n_features_per_level", 2)
+    deform_impl = cfg.get("hash_impl", DEFAULT_HASH_IMPL)
+    if deform_feats != 2 and deform_impl != "exact":
+        deform_impl = "exact"   # row layouts are F=2-only (see above)
     deform_spec = HashGridSpec(
         n_levels=cfg.get("deform_n_levels", 14),
         n_features_per_level=deform_feats,
@@ -349,7 +357,7 @@ def _build_part4(cfg: dict) -> Field:
         base_resolution=cfg.get("deform_base_resolution", 16),
         per_level_scale=cfg.get("deform_per_level_scale", 1.5),
         bound=cfg.get("scene_bound", 1.5),
-        impl=cfg.get("hash_impl", DEFAULT_HASH_IMPL),
+        impl=deform_impl,
         dense_max_entries=cfg.get("deform_hash_dense_max_entries", None),
     )
     canon_spec = _hash_spec_from_cfg(cfg, default_bound=1.5)

@@ -392,6 +392,32 @@ def hash_encode(table: jnp.ndarray, x: jnp.ndarray,
     return _hash_encode_brick(table, x, spec, max_level)
 
 
+def _scan_levels(level_fn, xs, f: int, unroll: bool) -> jnp.ndarray:
+    """Run a per-level scan emitting F separate [N] feature vectors and
+    reassemble the level-major [N, K*F] output outside the scan.
+
+    Both obvious emission shapes have a pathological TPU tiling: a
+    [K, N, F] stack pads F=2 up to the 128-lane tile (64x memory), and a
+    [K, F, N] stack is fine forward but its BACKWARD materializes one
+    [F, N] cotangent slice per level laid out with F on the lane axis --
+    512 MB each at N=1M points, ~20 live at once, which OOMed the
+    part-3-instant train step on chip (queue_logs/p3i_at_scale.log,
+    2026-08-19). Per-feature [N] vectors tile cleanly in both passes;
+    the row permutation keeps the output column order identical to the
+    old code (checkpoint-compatible).
+    """
+    def body(_, ro):
+        t = level_fn(ro)                        # [N, F]
+        return None, tuple(t[:, i] for i in range(f))
+
+    _, ys = jax.lax.scan(body, None, xs, unroll=unroll)
+    big = jnp.concatenate(ys, axis=0)           # [F*K, N], row f*K + k
+    k = big.shape[0] // f
+    r = jnp.arange(k * f)
+    perm = (r % f) * k + r // f                 # row k*F+f <- row f*K+k
+    return big[perm].T                          # [N, K*F], level-major
+
+
 def _encode_vertex_levels(table: jnp.ndarray, x01: jnp.ndarray,
                           spec: HashGridSpec, levels, offsets
                           ) -> jnp.ndarray:
@@ -456,15 +482,14 @@ def _encode_vertex_levels(table: jnp.ndarray, x01: jnp.ndarray,
         @jax.checkpoint
         def _one(ro):
             res, offset = ro
-            return level_feats(res, offset, False).T        # [F, N]
+            return level_feats(res, offset, False)          # [N, F]
 
         # unroll=False: the per-vertex path is the quality-reference/A-B
         # path, not the hot path — its 8-gathers-per-level graph is ~8x
         # the brick impl's and unrolling it made remote TPU compiles
         # pathologically slow (>45 min at 16 levels).
-        _, ys = jax.lax.scan(lambda _, ro: (None, _one(ro)), None,
-                             (res_arr, off_arr), unroll=False)
-        feats.append(ys.reshape(len(hashed_i) * f, n).T)
+        feats.append(_scan_levels(_one, (res_arr, off_arr), f,
+                                  unroll=False))
 
     return jnp.concatenate(feats, axis=-1)
 
@@ -620,14 +645,12 @@ def _encode_cell_levels(cell_tab: jnp.ndarray, x01: jnp.ndarray,
         h = 2 * f
         v = v[:, :h] * (1.0 - fy) + v[:, h:] * fy         # [N, 2F]
         v = v[:, :f] * (1.0 - fz) + v[:, f:] * fz         # [N, F]
-        return v.T                                        # [F, N]
+        return v
 
     # Remat + scan for the same reasons as the brick hashed levels:
     # one compiled copy of the gather+lerp graph, recompute rows in
     # the backward pass instead of saving [K, N, 16] residuals.
-    _, ys = jax.lax.scan(lambda _, ro: (None, _level(ro)), None,
-                         (res_arr, off_arr), unroll=True)
-    return ys.reshape(len(levels) * f, n).T
+    return _scan_levels(_level, (res_arr, off_arr), f, unroll=True)
 
 
 def hash_encode_vcell(table: jnp.ndarray, x: jnp.ndarray,
@@ -876,18 +899,13 @@ def _encode_brick_hashed_levels(table: jnp.ndarray, x01: jnp.ndarray,
         idx = row.astype(jnp.int32) + offset
         rows = jnp.take(table, idx, axis=0, unique_indices=False,
                         mode="clip").astype(jnp.float32)
-        # Emit [F, N] so the scan stack [K, F, N] keeps N minor
-        # (a [K, N, F] stack would be lane-padded 64x).
-        return _brick_row_trilerp(rows, q, frac).T
+        return _brick_row_trilerp(rows, q, frac)            # [N, F]
 
-    def body(_, ro):
-        # Remat: recomputing the row-gather in the backward pass is far
-        # cheaper than saving [K, N, 128] row residuals (5+ GB at 1M pts).
-        return None, _level(ro)
-
-    _, ys = jax.lax.scan(body, None, (res_arr, off_arr),
-                         unroll=True)                       # [K, F, N]
-    return ys.reshape(len(levels) * spec.n_features_per_level, n).T
+    # Remat (jax.checkpoint on _level): recomputing the row-gather in the
+    # backward pass is far cheaper than saving [K, N, 128] row residuals
+    # (5+ GB at 1M pts).
+    return _scan_levels(_level, (res_arr, off_arr),
+                        spec.n_features_per_level, unroll=True)
 
 
 def _hash_encode_brick(table: jnp.ndarray, x: jnp.ndarray,

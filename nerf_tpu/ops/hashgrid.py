@@ -809,16 +809,28 @@ def hash_encode_tbrick(table: jnp.ndarray, x: jnp.ndarray,
         res = spec.resolutions[lvl]
         nb = max(1, -(-(res - 1) // _BRICK_C))
         o = spec.tbrick_dense_offsets[lvl]
-        rows_tab = _expand_vertices_to_brick_rows(
-            table[o * f: (o + res ** 3) * f], res, nb, f)
-        brick, q, frac = _brick_cell_coords(x01, res)
-        b = brick.astype(jnp.uint32)
-        row = b[:, 0] + b[:, 1] * np.uint32(nb) \
-            + b[:, 2] * np.uint32(nb * nb)
-        rows = jnp.take(rows_tab, row.astype(jnp.int32), axis=0,
-                        unique_indices=False, mode="clip") \
-            .astype(jnp.float32)
-        feats.append(_brick_row_trilerp(rows, q, frac))
+
+        # Remat each dense level: without it the [N, 128] row gather and
+        # the trilerp temporaries of EVERY dense level stay live as
+        # backward residuals at once — 512 MB x ~12 levels at 1M points,
+        # which OOMed the part-3-instant train step on chip
+        # (queue_logs/p3i_at_scale.log, 2nd OOM, 2026-08-19). Recomputing
+        # the gather in the backward pass costs ~20% of the fwd+bwd time
+        # (profile_train: encode fwd 19 ms vs fwd+bwd 115 ms at 0.5M).
+        @jax.checkpoint
+        def _dense_level(tab_slice, pts01, res=res, nb=nb):
+            rows_tab = _expand_vertices_to_brick_rows(tab_slice, res, nb,
+                                                      f)
+            brick, q, frac = _brick_cell_coords(pts01, res)
+            b = brick.astype(jnp.uint32)
+            row = b[:, 0] + b[:, 1] * np.uint32(nb) \
+                + b[:, 2] * np.uint32(nb * nb)
+            rows = jnp.take(rows_tab, row.astype(jnp.int32), axis=0,
+                            unique_indices=False, mode="clip") \
+                .astype(jnp.float32)
+            return _brick_row_trilerp(rows, q, frac)
+
+        feats.append(_dense_level(table[o * f: (o + res ** 3) * f], x01))
 
     if lmax > split:
         brick_tab = table[n_dense * f:].reshape(-1, _ROW_W)
@@ -947,14 +959,23 @@ def _hash_encode_brick(table: jnp.ndarray, x: jnp.ndarray,
     for lvl in dense_lvls:
         res = spec.resolutions[lvl]
         nb = spec.bricks_per_axis[lvl]
-        brick, q, frac = _brick_cell_coords(x01, res)
-        b = brick.astype(jnp.uint32)
-        row = b[:, 0] + b[:, 1] * np.uint32(nb) \
-            + b[:, 2] * np.uint32(nb * nb)
-        idx = row.astype(jnp.int32) + spec.level_offsets[lvl]
-        rows = jnp.take(table, idx, axis=0, unique_indices=False,
-                        mode="clip").astype(jnp.float32)
-        feats.append(_brick_row_trilerp(rows, q, frac))
+
+        # Remat per dense level — same reason as hash_encode_tbrick's
+        # dense loop: keep only one level's [N, 128] row residuals live
+        # in the backward instead of all of them.
+        @jax.checkpoint
+        def _dense_level(tab, pts01, res=res, nb=nb,
+                         offset=spec.level_offsets[lvl]):
+            brick, q, frac = _brick_cell_coords(pts01, res)
+            b = brick.astype(jnp.uint32)
+            row = b[:, 0] + b[:, 1] * np.uint32(nb) \
+                + b[:, 2] * np.uint32(nb * nb)
+            idx = row.astype(jnp.int32) + offset
+            rows = jnp.take(tab, idx, axis=0, unique_indices=False,
+                            mode="clip").astype(jnp.float32)
+            return _brick_row_trilerp(rows, q, frac)
+
+        feats.append(_dense_level(table, x01))
 
     if hashed_lvls:
         n_rows = spec.level_bricks[hashed_lvls[0]]

@@ -295,14 +295,57 @@ def run_part2_instant(cfg: dict, args) -> None:
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = jax.tree.map(lambda p, u: p + u, params, updates)
                 return params, opt_state, loss, loss_rgb, loss_tv
-            return train_step
 
-        step_mask = make_step(None)          # dense / no-grid regime
+            @partial(jax.jit, donate_argnums=(0, 1),
+                     static_argnames=("use_grid", "length"))
+            def train_scan(params, opt_state, rng, step0, grid_binary,
+                           use_grid=False, length=1):
+                """`length` train steps in ONE dispatch (lax.scan).
+
+                Over the tunneled TPU each dispatch costs ~60 ms of
+                round-trip (tools/profile_train.py) — at a ~121 ms/step
+                compute floor that is a third of the 5-minute Instant
+                gate. Semantics are bit-identical to `length` calls of
+                train_step: the rng carry splits inside the scan in the
+                same order the host loop splits it, and the host only
+                chunks ranges that contain no log/val/grid-update
+                boundary (see the `_is_event` fence in the train loop).
+                """
+                fn = partial(local_grads, use_grid=use_grid)
+                if mesh is not None:
+                    from jax.sharding import PartitionSpec as P
+                    fn = jax.shard_map(fn, mesh=mesh,
+                                       in_specs=(P(), P(), P(), P()),
+                                       out_specs=(P(), P()),
+                                       check_vma=False)
+
+                def body(carry, i):
+                    params, opt_state, rng = carry
+                    rng, srng = jax.random.split(rng)
+                    (loss, (loss_rgb, loss_tv)), grads = fn(
+                        params, srng, step0 + i, grid_binary)
+                    updates, opt_state = tx.update(grads, opt_state,
+                                                   params)
+                    params = jax.tree.map(lambda p, u: p + u,
+                                          params, updates)
+                    return (params, opt_state, rng), (loss, loss_rgb,
+                                                      loss_tv)
+
+                (params, opt_state, rng), outs = jax.lax.scan(
+                    body, (params, opt_state, rng),
+                    jnp.arange(length, dtype=jnp.int32))
+                loss, loss_rgb, loss_tv = (x[-1] for x in outs)
+                return params, opt_state, rng, loss, loss_rgb, loss_tv
+
+            return train_step, train_scan
+
+        step_mask, scan_mask = make_step(None)   # dense / no-grid regime
         train_ray_budget = cfg.get("train_ray_budget")
-        step_compact = (make_step(budget_compact_capacity(
-                            cfg, local_batch, train_ray_budget),
-                            ray_budget=train_ray_budget)
-                        if train_ray_budget else make_step(train_capacity))
+        step_compact, scan_compact = (
+            make_step(budget_compact_capacity(
+                cfg, local_batch, train_ray_budget),
+                ray_budget=train_ray_budget)
+            if train_ray_budget else make_step(train_capacity))
         # Optional cheap warmup: before the density grid activates, train
         # with a coarser stratified sampling (`warmup_n_samples`, e.g. 32
         # of 128). The dense 128-sample warmup step costs ~4x the budget
@@ -310,8 +353,10 @@ def run_part2_instant(cfg: dict, args) -> None:
         # that only learns coarse density. Off by default (reference
         # semantics); applies only while the grid is warming up.
         warmup_ns = cfg.get("warmup_n_samples")
-        step_warm = (make_step(None, n_samples_step=warmup_ns)
-                     if warmup_ns and grid_state is not None else step_mask)
+        step_warm, scan_warm = (
+            make_step(None, n_samples_step=warmup_ns)
+            if warmup_ns and grid_state is not None
+            else (step_mask, scan_mask))
 
         print(f">>> target: {train_iters} steps | lr {learning_rate} "
               f"(cosine -> {eta_min}) | batch {batch_size} x {n_samples}")
@@ -373,22 +418,60 @@ def run_part2_instant(cfg: dict, args) -> None:
                       f"(best val {best_val_psnr:.2f} dB, "
                       f"{wall_prev:.0f}s accumulated)")
 
-        for step in range(start_step + 1, train_iters + 1):
+        # steps_per_dispatch > 1 batches up to that many train steps into
+        # one lax.scan dispatch (train_scan): over the tunneled TPU each
+        # dispatch costs ~60 ms of round-trip against a ~121 ms/step
+        # compute floor. Chunks never cross a host event (log/val/grid
+        # update/warmup edge/end), so results are bit-identical to the
+        # single-step loop.
+        steps_per_dispatch = max(1, int(cfg.get("steps_per_dispatch", 1)))
+
+        def _is_event(s):
+            if s >= train_iters:
+                return True
+            if s % log_every == 0 or s % val_every == 0:
+                return True
+            if grid_state is not None:
+                if s == grid_warmup_iters:
+                    return True          # use_grid flips after this step
+                if s < train_iters * grid_stop_ratio:
+                    if s < train_iters * 0.1:
+                        iv = 32
+                    elif s < train_iters * 0.5:
+                        iv = 128
+                    else:
+                        iv = 512
+                    if should_update(s, iv, grid_warmup_iters):
+                        return True
+            return False
+
+        step = start_step + 1
+        while step <= train_iters:
             trace.step(step)
-            rng, srng = jax.random.split(rng)
             use_grid = grid_state is not None and step > grid_warmup_iters
             compact = use_grid and active_ratio < switch_ratio
             if grid_state is not None and not use_grid:
-                fn = step_warm
+                fn, scan_fn = step_warm, scan_warm
             elif compact:
-                fn = step_compact
+                fn, scan_fn = step_compact, scan_compact
             else:
-                fn = step_mask
+                fn, scan_fn = step_mask, scan_mask
             binary = grid_state["binary"] if grid_state is not None \
                 else dummy_binary
-            params, opt_state, loss, loss_rgb, loss_tv = fn(
-                params, opt_state, srng, jnp.int32(step), binary,
-                use_grid=use_grid)
+            span = 1
+            while (span < steps_per_dispatch
+                   and not _is_event(step + span - 1)):
+                span += 1
+            if span > 1:
+                params, opt_state, rng, loss, loss_rgb, loss_tv = scan_fn(
+                    params, opt_state, rng, jnp.int32(step), binary,
+                    use_grid=use_grid, length=span)
+                step += span - 1     # event handling below sees chunk end
+            else:
+                rng, srng = jax.random.split(rng)
+                params, opt_state, loss, loss_rgb, loss_tv = fn(
+                    params, opt_state, srng, jnp.int32(step), binary,
+                    use_grid=use_grid)
 
             # Staged grid updates (reference: run.py:632-646).
             if grid_state is not None and step < train_iters * grid_stop_ratio:
@@ -444,6 +527,8 @@ def run_part2_instant(cfg: dict, args) -> None:
                     rng, wall_prev + (_time.perf_counter() - train_t0),
                     extra={"grid": grid_state,
                            "active_ratio": active_ratio})
+
+            step += 1
 
         wall = wall_prev + (_time.perf_counter() - train_t0)
         print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB"

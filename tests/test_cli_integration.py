@@ -130,6 +130,38 @@ def test_cli_part2_instant_roundtrip_and_video_path(tmp_path, scenes):
     assert "PSNR" in out
 
 
+def test_cli_part2_instant_steps_per_dispatch_equivalence(tmp_path,
+                                                          scenes):
+    """steps_per_dispatch>1 (lax.scan step batching) must reproduce the
+    single-step loop: same rng split order, chunks fenced at host events
+    (log/val/grid-update/warmup edge). Trains the same tiny recipe both
+    ways and compares every logged loss and the final test PSNR."""
+    import re
+
+    outs = {}
+    for spd in (1, 4):
+        cfg_path, _ = _write_cfg(tmp_path, "part2_instant.yaml", {
+            "log_dir": str(tmp_path / f"out_spd{spd}"),
+            "scene_bound": 1.5, "train_iters": 40, "seed": 3,
+            "grid_warmup_iters": 8, "capacity_switch_ratio": 1.5,
+            "batch_size": 512, "n_samples": 32, "train_ray_budget": 8,
+            "steps_per_dispatch": spd,
+        })
+        outs[spd] = _run_cli(["--config", cfg_path,
+                              "--data_dir", scenes["static"]])
+
+    def losses(txt):
+        return [float(m) for m in re.findall(r"Loss ([0-9.]+)", txt)]
+
+    def test_psnr(txt):
+        return float(re.findall(r"test PSNR: ([0-9.]+)", txt)[-1])
+
+    l1, l4 = losses(outs[1]), losses(outs[4])
+    assert len(l1) == len(l4) and len(l1) >= 4
+    np.testing.assert_allclose(l1, l4, rtol=2e-3, atol=1e-5)
+    assert abs(test_psnr(outs[1]) - test_psnr(outs[4])) < 0.05
+
+
 def test_cli_part3_instant_train_eval(tmp_path, scenes):
     cfg_path, _ = _write_cfg(tmp_path, "part3_instant.yaml", {
         "log_dir": str(tmp_path / "out3"),

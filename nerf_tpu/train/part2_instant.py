@@ -394,6 +394,10 @@ def run_part2_instant(cfg: dict, args) -> None:
         dummy_binary = (grid_state["binary"] if grid_state is not None
                         else jnp.ones((1, 1, 1), jnp.bool_))
         timer = StepTimer(batch_size)
+        # Wall-clock accounting per phase: the 5-minute-gate deficit hunt
+        # needs to know whether the remainder lives in steps, val renders,
+        # grid updates, or checkpoint/host transfers (VERDICT r4 item 3).
+        phase_s = {"val": 0.0, "grid": 0.0, "ckpt": 0.0}
         trace = TraceCapture(cfg)
         import time as _time
         train_t0 = _time.perf_counter()
@@ -482,9 +486,11 @@ def run_part2_instant(cfg: dict, args) -> None:
                 else:
                     interval = 512
                 if should_update(step, interval, grid_warmup_iters):
+                    _t = _time.perf_counter()
                     grid_state, ar = grid_update(
                         params, grid_state, jnp.zeros((1,)), 1.0)
                     active_ratio = float(ar)
+                    phase_s["grid"] += _time.perf_counter() - _t
 
             if step % log_every == 0:
                 loss_rgb_v = float(loss_rgb)
@@ -505,14 +511,17 @@ def run_part2_instant(cfg: dict, args) -> None:
                                          step)
 
             if step % val_every == 0:
+                _t = _time.perf_counter()
                 binary = grid_state["binary"] if grid_state is not None \
                     else None
                 avg_val, _ = evaluate_split(
                     field, params, test_set, val_renderer,
                     grid_binary=binary, bg_color=fixed_bg,
                     indices=val_indices)
+                phase_s["val"] += _time.perf_counter() - _t
                 print(f"    [Validation] PSNR: {avg_val:.2f} dB", end="")
                 tb_logger.log_scalar("Validation/PSNR", avg_val, step)
+                _t = _time.perf_counter()
                 if avg_val > best_val_psnr:
                     best_val_psnr = avg_val
                     save_checkpoint(
@@ -527,6 +536,7 @@ def run_part2_instant(cfg: dict, args) -> None:
                     rng, wall_prev + (_time.perf_counter() - train_t0),
                     extra={"grid": grid_state,
                            "active_ratio": active_ratio})
+                phase_s["ckpt"] += _time.perf_counter() - _t
 
             step += 1
 
@@ -534,6 +544,11 @@ def run_part2_instant(cfg: dict, args) -> None:
         print(f"\n>>> training done; best val PSNR: {best_val_psnr:.2f} dB"
               f" | training wall-clock {int(wall // 60)}:{wall % 60:04.1f}"
               f" ({train_iters} steps incl. val/grid updates)")
+        steps_s = (wall - wall_prev - sum(phase_s.values()))
+        print(">>> wall breakdown: steps {:.1f}s | val {:.1f}s | "
+              "grid {:.1f}s | ckpt {:.1f}s".format(
+                  steps_s, phase_s["val"], phase_s["grid"],
+                  phase_s["ckpt"]))
         trace.close()
         tb_logger.close()
 

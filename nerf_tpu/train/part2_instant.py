@@ -470,6 +470,18 @@ def run_part2_instant(cfg: dict, args) -> None:
                 out = grid_update(params, gg, jnp.zeros((1,)), 1.0)
                 jax.block_until_ready(out)
                 n_pc += 1
+            # One throwaway val-image render: the first in-loop val
+            # otherwise pays the val program's cold compile inside the
+            # reported wall (~90 s on the tunneled TPU, gate1 TB trace).
+            pc_idx = ([val_indices[0]] if val_indices
+                      else ([0] if len(test_set) else None))
+            if pc_idx is not None:
+                evaluate_split(field, params, test_set, val_renderer,
+                               grid_binary=(grid_state["binary"]
+                                            if grid_state is not None
+                                            else None),
+                               bg_color=fixed_bg, indices=pc_idx)
+                n_pc += 1
             pc_s = _time.perf_counter() - pc0
             print(f">>> precompiled {n_pc} programs in {pc_s:.1f}s "
                   f"(one-time XLA compile/cache-load + one throwaway "
